@@ -1,0 +1,83 @@
+"""KZG trusted setup (toy: tau passed in) and polynomial commitment.
+
+Functional equivalent of src/setup.rs. The SRS is
+  powers_of_x = [G1, tau*G1, ..., tau^(powers-1)*G1],  x_2 = tau*G2
+(setup.rs:12-31). Unlike the reference's serial 255-bit scalar-mul chain,
+we compute the scalar powers tau^i first (cheap field muls) and do
+independent fixed-base multiplications — and cache generated SRS to disk
+(the reference regenerates per run; SURVEY.md §5 checkpoint/resume gap).
+
+``commit`` asserts monomial basis (setup.rs:34) and multi-scalar-multiplies
+the coefficients against the SRS.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+from ..fields import fr
+from ..fields.tower import Fp2
+from ..curves.g1 import G1
+from ..curves.g2 import G2
+from ..curves import msm_host
+from .poly import Basis, Poly
+
+_CACHE_DIR = os.environ.get(
+    "BPT_SRS_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "baby_plonk_tpu")
+)
+
+
+class Setup:
+    def __init__(self, powers_of_x: list[G1], x_2: G2):
+        self.powers_of_x = powers_of_x
+        self.x_2 = x_2
+        self._tpu_cache = None  # device-resident SRS, filled lazily by the TPU engine
+
+    @staticmethod
+    def generate_srs(powers: int, tau: int, cache: bool = True) -> "Setup":
+        tau = tau % fr.Q
+        key = None
+        if cache:
+            key = hashlib.sha256(f"srs-v1-{powers}-{tau}".encode()).hexdigest()[:24]
+            path = os.path.join(_CACHE_DIR, f"{key}.pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    xs, x2 = pickle.load(f)
+                return Setup(
+                    [G1(*t) for t in xs],
+                    G2(Fp2(*x2[0]), Fp2(*x2[1]), Fp2(*x2[2])),
+                )
+        g = G1.generator()
+        # powers of tau in the field (cheap), then one fixed-base mul each
+        cur = 1
+        pows: list[G1] = []
+        base = g
+        for i in range(powers):
+            pows.append(base * cur if i > 0 else base)
+            cur = cur * tau % fr.Q
+        x_2 = G2.generator() * tau
+        setup = Setup(pows, x_2)
+        if cache and key is not None:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            path = os.path.join(_CACHE_DIR, f"{key}.pkl")
+            xs = [(p.x, p.y, p.z) for p in pows]
+            x2s = [(x_2.x.c0, x_2.x.c1), (x_2.y.c0, x_2.y.c1), (x_2.z.c0, x_2.z.c1)]
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((xs, x2s), f)
+            os.replace(tmp, path)
+        return setup
+
+    def commit(self, polynomial: Poly) -> G1:
+        """KZG commit: MSM of monomial coefficients against the SRS (setup.rs:32-37)."""
+        assert polynomial.basis == Basis.MONOMIAL
+        values = polynomial.values
+        # the reference zip-truncates silently; we require the poly to fit
+        nonzero_len = len(values)
+        while nonzero_len and values[nonzero_len - 1] == 0:
+            nonzero_len -= 1
+        assert nonzero_len <= len(self.powers_of_x), (
+            f"polynomial degree {nonzero_len - 1} exceeds SRS size {len(self.powers_of_x)}"
+        )
+        return msm_host.msm(self.powers_of_x[:nonzero_len], values[:nonzero_len])

@@ -1,0 +1,194 @@
+"""PLONK verifier — steps 4-12 of the PLONK paper.
+
+Functional equivalent of src/verifier.rs. Like the reference, the
+verifier preprocessed input is recomputed from the program via 8 KZG
+commits (verifier.rs:60-70, so it needs the full SRS — the reference is
+deliberately non-succinct here and we preserve that API; the commits
+can be cached/shared with the prover's preprocessing).
+
+Final check (verifier.rs:187-191):
+  e(W_zeta + mu*W_zeta_omega, x_2)
+    == e(zeta*W_zeta + mu*zeta*omega*W_zeta_omega + F_1 - E_1, G_2)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields import fr
+from ..curves.g1 import G1
+from ..curves.g2 import G2
+from ..curves.pairing import multi_miller_loop, final_exponentiation
+from .poly import Basis, Poly
+from .program import Program
+from .proof import Proof
+from .setup import Setup
+from .transcript import PlonkTranscript
+
+Q = fr.Q
+K1, K2 = 2, 3  # verifier.rs:76-77
+
+
+def _rlc(a: int, b: int, beta: int, gamma: int) -> int:
+    return (a + b * beta + gamma) % Q
+
+
+@dataclass
+class VerifierPreprocessedInput:
+    qm_1: G1
+    ql_1: G1
+    qr_1: G1
+    qo_1: G1
+    qc_1: G1
+    s1_1: G1
+    s2_1: G1
+    s3_1: G1
+    x_2: G2
+
+
+class Verifier:
+    def __init__(self, setup: Setup, program: Program, proof: Proof, engine=None):
+        if engine is None:
+            from ..ops.engine import get_default_engine
+
+            engine = get_default_engine()
+        self.engine = engine
+        cpi = program.common_preprocessed_input()
+
+        def commit_lagrange(p: Poly) -> G1:
+            return engine.commit(setup, Poly(engine.intt(p.values), Basis.MONOMIAL))
+
+        self.vpi = VerifierPreprocessedInput(
+            ql_1=commit_lagrange(cpi.ql),
+            qr_1=commit_lagrange(cpi.qr),
+            qm_1=commit_lagrange(cpi.qm),
+            qo_1=commit_lagrange(cpi.qo),
+            qc_1=commit_lagrange(cpi.qc),
+            s1_1=commit_lagrange(cpi.s1),
+            s2_1=commit_lagrange(cpi.s2),
+            s3_1=commit_lagrange(cpi.s3),
+            x_2=setup.x_2,
+        )
+        self.proof = proof
+        self.group_order = program.group_order
+
+    def compute_challenges(self, proof: Proof):
+        """Replay the Fiat-Shamir transcript (verifier.rs:193-209)."""
+        t = PlonkTranscript(b"plonk")
+        beta, gamma = t.round_1(proof.a_1, proof.b_1, proof.c_1)
+        alpha = t.round_2(proof.z_1)
+        zeta = t.round_3(proof.t_lo_1, proof.t_mid_1, proof.t_hi_1)
+        nu = t.round_4(
+            proof.a_bar, proof.b_bar, proof.c_bar,
+            proof.s1_bar, proof.s2_bar, proof.z_omega_bar,
+        )
+        mu = t.round_5(proof.w_zeta_1, proof.w_zeta_omega_1)
+        return beta, gamma, alpha, zeta, nu, mu
+
+    def verify(self, public_input: list[int]) -> bool:
+        n = self.group_order
+        proof = self.proof
+        beta, gamma, alpha, zeta, nu, mu = self.compute_challenges(proof)
+
+        # step 5: Z_H(zeta)
+        z_h_zeta = (pow(zeta, n, Q) - 1) % Q
+
+        omega = fr.root_of_unity(n)
+
+        # step 6: L1(zeta) via iNTT + eval (verifier.rs:91-96)
+        l1_coeff = Poly(self.engine.intt([1] + [0] * (n - 1)), Basis.MONOMIAL)
+        l_1_zeta = l1_coeff.eval(zeta)
+
+        # step 7: PI(zeta)
+        pi_values = [(-x) % Q for x in public_input] + [0] * (n - len(public_input))
+        pi_eval = Poly(self.engine.intt(pi_values), Basis.MONOMIAL).eval(zeta)
+
+        a_bar, b_bar, c_bar = proof.a_bar, proof.b_bar, proof.c_bar
+        s1_bar, s2_bar, z_omega_bar = proof.s1_bar, proof.s2_bar, proof.z_omega_bar
+
+        # step 8: r_0
+        r_0 = (
+            pi_eval
+            - l_1_zeta * alpha % Q * alpha
+            - alpha
+            * _rlc(a_bar, s1_bar, beta, gamma)
+            % Q
+            * _rlc(b_bar, s2_bar, beta, gamma)
+            % Q
+            * ((c_bar + gamma) % Q)
+            % Q
+            * z_omega_bar
+        ) % Q
+
+        vpi = self.vpi
+
+        # step 9: D_1
+        d_1 = (
+            vpi.qm_1 * (a_bar * b_bar % Q)
+            + vpi.ql_1 * a_bar
+            + vpi.qr_1 * b_bar
+            + vpi.qo_1 * c_bar
+            + vpi.qc_1
+        )
+        d_1 = d_1 + proof.z_1 * (
+            (
+                _rlc(a_bar, zeta, beta, gamma)
+                * _rlc(b_bar, K1 * zeta % Q, beta, gamma)
+                % Q
+                * _rlc(c_bar, K2 * zeta % Q, beta, gamma)
+                % Q
+                * alpha
+                + l_1_zeta * alpha % Q * alpha
+                + mu
+            )
+            % Q
+        )
+        d_1 = d_1 - vpi.s3_1 * (
+            _rlc(a_bar, s1_bar, beta, gamma)
+            * _rlc(b_bar, s2_bar, beta, gamma)
+            % Q
+            * alpha
+            % Q
+            * beta
+            % Q
+            * z_omega_bar
+            % Q
+        )
+        d_1 = d_1 - (
+            proof.t_lo_1
+            + proof.t_mid_1 * pow(zeta, n, Q)
+            + proof.t_hi_1 * pow(zeta, 2 * n, Q)
+        ) * z_h_zeta
+
+        # step 10: F_1
+        nus = [pow(nu, i, Q) for i in range(6)]
+        f_1 = (
+            d_1
+            + proof.a_1 * nus[1]
+            + proof.b_1 * nus[2]
+            + proof.c_1 * nus[3]
+            + vpi.s1_1 * nus[4]
+            + vpi.s2_1 * nus[5]
+        )
+
+        # step 11: E_1
+        e_scalar = (
+            nus[1] * a_bar
+            + nus[2] * b_bar
+            + nus[3] * c_bar
+            + nus[4] * s1_bar
+            + nus[5] * s2_bar
+            + mu * z_omega_bar
+            - r_0
+        ) % Q
+        e_1 = G1.generator() * e_scalar
+
+        # step 12: pairing check; one multi-miller loop with the RHS negated
+        lhs_g1 = proof.w_zeta_1 + proof.w_zeta_omega_1 * mu
+        rhs_g1 = (
+            proof.w_zeta_1 * zeta
+            + proof.w_zeta_omega_1 * (mu * zeta % Q * omega % Q)
+            + f_1
+            - e_1
+        )
+        f12 = multi_miller_loop([(lhs_g1, vpi.x_2), (-rhs_g1, G2.generator())])
+        return final_exponentiation(f12).is_one()
