@@ -1,0 +1,126 @@
+"""Radix-2 NTT over the 2-adic subgroup of Fr — device (JAX) implementation.
+
+Computes the same function as the reference's O(n^2) matrix DFT
+(src/utils.rs:63-81 forward, :106-129 inverse with final n^{-1} scaling):
+forward X_j = sum_i x_i w^(ij), w = ROOT_OF_UNITY^(2^32/n). Here it is an
+O(n log n) iterative Cooley–Tukey, structured for XLA:
+
+* one ``lax.fori_loop`` over the log2(n) stages whose body contains a
+  single Montgomery multiply — butterfly geometry is derived from the
+  stage counter with shift/mask arithmetic on an iota, so every stage has
+  identical shapes and the compiled graph is O(1) in n;
+* twiddles come from one (n/2, L) table of w^k (Montgomery form) indexed
+  per stage — no per-stage tables;
+* the bit-reversal permutation is a host-precomputed gather.
+
+Cross-chip stage exchange lives in ``baby_plonk_tpu.parallel``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+from . import limbs
+from .limbs import FieldSpec
+
+FR_SPEC = FieldSpec(fr.Q, 16)
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    out = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        r = 0
+        x = i
+        for _ in range(bits):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        out[i] = r
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _plan(n: int, inverse: bool):
+    """(perm, twiddle_table, n_inv) host tables for a size-n transform."""
+    root = fr.root_of_unity(n) if n > 1 else 1
+    if inverse:
+        root = pow(root, fr.Q - 2, fr.Q)
+    tw = [1] * max(n // 2, 1)
+    for i in range(1, n // 2):
+        tw[i] = tw[i - 1] * root % fr.Q
+    n_inv = FR_SPEC.pack_mont([pow(n, fr.Q - 2, fr.Q)])[0]
+    return (
+        _bit_reverse_perm(n),
+        FR_SPEC.pack_mont(tw),
+        n_inv,
+    )
+
+
+def ntt_mont(a, inverse: bool, perm, tw, n_inv):
+    """NTT of Montgomery-form values. a: (..., n, L) -> same shape."""
+    spec = FR_SPEC
+    n = a.shape[-2]
+    if n == 1:
+        return a
+    logn = n.bit_length() - 1
+    lead = a.shape[:-2]
+    a = jnp.take(a, perm, axis=-2)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n // 2, 1), 0)[:, 0]  # 0..n/2-1
+    p = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]  # 0..n-1
+
+    def stage(s, a):
+        half = jnp.left_shift(1, s)
+        hm = half - 1
+        # butterfly j: u at block*2half + i, v at u + half (i = j & hm)
+        i_in_blk = j & hm
+        u_idx = ((j >> s) << (s + 1)) | i_in_blk
+        v_idx = u_idx + half
+        u = jnp.take(a, u_idx, axis=-2)
+        v = jnp.take(a, v_idx, axis=-2)
+        # twiddle exponent: i * (n / (2*half)) = i << (logn - 1 - s)
+        t_idx = i_in_blk << (logn - 1 - s)
+        w = jnp.take(tw, t_idx, axis=0)
+        vw = limbs.mont_mul(spec, v, w)
+        bu = limbs.add_mod(spec, u, vw)
+        bv = limbs.sub_mod(spec, u, vw)
+        cat = jnp.concatenate([bu, bv], axis=-2)  # (..., n, L)
+        # inverse permutation: output pos p <- bu/bv index
+        blk = p >> (s + 1)
+        r = p & ((half << 1) - 1)
+        src = jnp.where(
+            r < half,
+            (blk << s) + r,
+            (n // 2) + (blk << s) + (r - half),
+        )
+        return jnp.take(cat, src, axis=-2)
+
+    a = jax.lax.fori_loop(0, logn, stage, a)
+    if inverse:
+        a = limbs.mont_mul(spec, a, n_inv)
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ntt_jit(a, inverse: bool, perm, tw, n_inv):
+    return ntt_mont(a, inverse, perm, tw, n_inv)
+
+
+def ntt_device(a_mont, inverse: bool = False):
+    """Jitted NTT on a device array of Montgomery-form Fr limbs (..., n, L)."""
+    n = a_mont.shape[-2]
+    perm, tw, n_inv = _plan(n, inverse)
+    return _ntt_jit(a_mont, inverse, jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv))
+
+
+# -- host-boundary helpers ----------------------------------------------------
+
+
+def ntt_ints(values: list[int], inverse: bool = False) -> list[int]:
+    """list[int] -> list[int]; pack, run on device, unpack."""
+    a = jnp.asarray(FR_SPEC.pack_mont(values))
+    out = ntt_device(a, inverse)
+    return FR_SPEC.unpack_mont(np.asarray(jax.device_get(out)))

@@ -7,11 +7,22 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env may point JAX_PLATFORMS at a tunneled TPU
+# (platform "axon") where every dispatch round-trips the tunnel and every
+# compile goes through a remote compile service. The env-var route does
+# not work here because a sitecustomize module imports jax at interpreter
+# start (before conftest); use jax.config, which wins as long as no
+# backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

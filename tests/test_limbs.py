@@ -1,0 +1,82 @@
+"""Limb-vector modular arithmetic vs exact host oracle (SURVEY.md §7.1 step 1)."""
+import random
+
+import numpy as np
+import pytest
+
+from baby_plonk_tpu.fields import fr, fq
+from baby_plonk_tpu.ops import limbs
+from baby_plonk_tpu.ops.limbs import FieldSpec
+
+FR = FieldSpec(fr.Q, 16)
+FQ = FieldSpec(fq.P, 24)
+
+rng = random.Random(1234)
+
+
+def _rand(spec, n):
+    return [rng.randrange(spec.modulus) for _ in range(n)]
+
+
+@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+def test_pack_roundtrip(spec):
+    xs = _rand(spec, 7) + [0, 1, spec.modulus - 1]
+    arr = limbs.ints_to_array(xs, spec.L)
+    assert limbs.array_to_ints(arr) == xs
+    m = spec.pack_mont(xs)
+    assert spec.unpack_mont(m) == xs
+
+
+@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+def test_add_sub_neg(spec):
+    n = 64
+    xs = _rand(spec, n - 3) + [0, 1, spec.modulus - 1]
+    ys = _rand(spec, n - 3) + [spec.modulus - 1, 0, spec.modulus - 1]
+    a = limbs.ints_to_array(xs, spec.L)
+    b = limbs.ints_to_array(ys, spec.L)
+    got_add = limbs.array_to_ints(np.asarray(limbs.add_mod_jit(spec, a, b)))
+    got_sub = limbs.array_to_ints(np.asarray(limbs.sub_mod_jit(spec, a, b)))
+    got_neg = limbs.array_to_ints(np.asarray(limbs.neg_mod_jit(spec, a)))
+    M = spec.modulus
+    assert got_add == [(x + y) % M for x, y in zip(xs, ys)]
+    assert got_sub == [(x - y) % M for x, y in zip(xs, ys)]
+    assert got_neg == [(-x) % M for x in xs]
+
+
+@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+def test_mont_mul(spec):
+    n = 64
+    xs = _rand(spec, n - 3) + [0, 1, spec.modulus - 1]
+    ys = _rand(spec, n - 3) + [spec.modulus - 1, 1, spec.modulus - 1]
+    a = spec.pack_mont(xs)
+    b = spec.pack_mont(ys)
+    got = spec.unpack_mont(np.asarray(limbs.mont_mul_jit(spec, a, b)))
+    M = spec.modulus
+    assert got == [x * y % M for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+def test_mont_form_conversions(spec):
+    xs = _rand(spec, 9)
+    raw = limbs.ints_to_array(xs, spec.L)
+    m = limbs.to_mont_jit(spec, raw)
+    assert spec.unpack_mont(np.asarray(m)) == xs
+    back = limbs.from_mont_jit(spec, m)
+    assert limbs.array_to_ints(np.asarray(back)) == xs
+
+
+def test_mont_pow_fixed():
+    xs = _rand(FR, 5)
+    a = FR.pack_mont(xs)
+    e = 0xDEADBEEF12345
+    got = FR.unpack_mont(np.asarray(limbs.mont_pow_fixed_jit(FR, a, e)))
+    assert got == [pow(x, e, fr.Q) for x in xs]
+
+
+def test_broadcasting():
+    xs = _rand(FR, 8)
+    y = _rand(FR, 1)
+    a = FR.pack_mont(xs).reshape(2, 4, 16)
+    b = FR.pack_mont(y)[0]  # (16,)
+    got = FR.unpack_mont(np.asarray(limbs.mont_mul_jit(FR, a, b)).reshape(8, 16))
+    assert got == [x * y[0] % fr.Q for x in xs]

@@ -1,0 +1,40 @@
+"""Device NTT vs host oracle (bit-exactness, SURVEY.md §7.1 step 2)."""
+import random
+
+import pytest
+
+from baby_plonk_tpu.fields import fr
+from baby_plonk_tpu.ops import ntt as dntt
+from baby_plonk_tpu.protocol import poly as hostpoly
+
+rng = random.Random(99)
+
+
+@pytest.mark.parametrize("n", [1, 2, 8, 64, 256])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_ntt_matches_host(n, inverse):
+    vals = [rng.randrange(fr.Q) for _ in range(n)]
+    got = dntt.ntt_ints(vals, inverse=inverse)
+    want = hostpoly.ntt(vals, inverse=inverse)
+    assert got == want
+
+
+def test_ntt_roundtrip():
+    n = 128
+    vals = [rng.randrange(fr.Q) for _ in range(n)]
+    assert dntt.ntt_ints(dntt.ntt_ints(vals), inverse=True) == vals
+
+
+def test_ntt_batched():
+    import jax.numpy as jnp
+    import numpy as np
+
+    n, b = 32, 3
+    polys = [[rng.randrange(fr.Q) for _ in range(n)] for _ in range(b)]
+    a = jnp.asarray(
+        np.stack([dntt.FR_SPEC.pack_mont(p) for p in polys])
+    )  # (b, n, 16)
+    out = dntt.ntt_device(a)
+    for i in range(b):
+        got = dntt.FR_SPEC.unpack_mont(np.asarray(out[i]))
+        assert got == hostpoly.ntt(polys[i])
