@@ -2,18 +2,27 @@
 
 TPUs have no 64-bit integer multiplier, so 255/381-bit field elements are
 decomposed into 16-bit limbs held in uint32 lanes: a 16x16-bit product fits
-a uint32 exactly, and column sums of <= 2*L such products stay under 2^22,
-so carries can be resolved in a single explicit pass. This is the
-TPU-native re-design of the reference's 64-bit Montgomery arithmetic
-(lib/bls12_381/src/scalar.rs:514-588, fp.rs:565-611) — same math, limb
-layout chosen for the VPU instead of x86-64.
+a uint32 exactly, and column sums of <= 2*L such products stay under 2^22.
+This is the TPU-native re-design of the reference's 64-bit Montgomery
+arithmetic (lib/bls12_381/src/scalar.rs:514-588, fp.rs:565-611) — same
+math, data layout and algorithms chosen for the VPU:
 
-Layout: an element is an array of shape (..., L) uint32, little-endian
-16-bit limbs, each limb in [0, 2^16). Field elements are kept in
-**Montgomery form** (x*R mod N, R = 2^(16 L)) and canonical ([0, N)).
+* **limb-major layout**: an element batch is an array of shape
+  (L, ...batch) uint32 — limb index leading, batch dims trailing — so a
+  per-limb operation is a full-width vector op over the batch (the batch
+  rides the 128-lane axis), never a 1-lane column slice;
+* **carry-lookahead, not carry chains**: carries/borrows are resolved
+  with a Kogge–Stone generate/propagate prefix scan
+  (``jax.lax.associative_scan`` over the limb axis, log2(L) depth)
+  instead of an L-step sequential loop, keeping graphs small and the
+  critical path logarithmic;
+* field elements are kept in **Montgomery form** (x*R mod N, R = 2^(16L))
+  and canonical ([0, N)); Montgomery reduction is the full-product
+  variant (one m = t*N' mod R, one m*N, one shift) which vectorizes
+  cleanly.
 
-All functions are shape-polymorphic in the leading (batch) dimensions and
-jit-friendly (static limb counts, no data-dependent control flow).
+All functions are shape-polymorphic in the trailing (batch) dimensions
+and jit-friendly (static limb counts, no data-dependent control flow).
 """
 from __future__ import annotations
 
@@ -27,77 +36,40 @@ U32 = jnp.uint32
 MASK16 = np.uint32(0xFFFF)
 
 
+# -----------------------------------------------------------------------------
+# Host-side packing (limb-major: (L, n))
+# -----------------------------------------------------------------------------
+
+
 def int_to_limbs(x: int, L: int) -> np.ndarray:
-    """Python int -> L x uint32 little-endian 16-bit limbs (host-side)."""
+    """Python int -> (L,) uint32 little-endian 16-bit limbs (host-side)."""
     return np.array([(x >> (16 * i)) & 0xFFFF for i in range(L)], dtype=np.uint32)
 
 
 def limbs_to_int(a) -> int:
-    """L x uint32 limbs -> Python int (host-side)."""
+    """(L,) limbs -> Python int (host-side)."""
     a = np.asarray(a, dtype=np.uint64)
     return sum(int(v) << (16 * i) for i, v in enumerate(a))
 
 
 def ints_to_array(xs, L: int) -> np.ndarray:
-    """list[int] -> (n, L) uint32 limb array (host-side)."""
-    n = len(xs)
-    out = np.empty((n, L), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        for j in range(L):
-            out[i, j] = (x >> (16 * j)) & 0xFFFF
-    return out
+    """list[int] -> (L, n) uint32 limb array (host-side, via bytes codec)."""
+    nbytes = 2 * L
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), L)
+    return np.ascontiguousarray(u16.T).astype(np.uint32)
 
 
 def array_to_ints(a) -> list[int]:
-    """(n, L) limb array -> list[int] (host-side)."""
-    a = np.asarray(a, dtype=np.uint64)
-    n, L = a.shape
-    shifts = [16 * j for j in range(L)]
-    return [sum(int(a[i, j]) << shifts[j] for j in range(L)) for i in range(n)]
-
-
-def _carry_pass(t):
-    """Normalize limbs to 16 bits: one sequential carry pass over the last axis.
-
-    Precondition: every limb < 2^32 - 2^16 (so limb + carry never overflows
-    uint32). Output limbs are < 2^16 except possibly the last, which absorbs
-    the final carry.
-    """
-    L = t.shape[-1]
-    cols = []
-    carry = jnp.zeros(t.shape[:-1], dtype=U32)
-    for k in range(L):
-        v = t[..., k] + carry
-        cols.append(v & MASK16 if k < L - 1 else v)
-        carry = v >> 16
-    return jnp.stack(cols, axis=-1)
-
-
-def _geq(a, b):
-    """a >= b, lexicographic over little-endian limbs. Returns bool (...,)."""
-    L = a.shape[-1]
-    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-    for k in range(L):
-        v = a[..., k] + np.uint32(0x10000) - b[..., k] - borrow
-        borrow = np.uint32(1) - (v >> 16)
-    return borrow == 0
-
-
-def _sub_raw(a, b):
-    """a - b assuming a >= b; limbwise with borrow."""
-    L = a.shape[-1]
-    cols = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-    for k in range(L):
-        v = a[..., k] + np.uint32(0x10000) - b[..., k] - borrow
-        cols.append(v & MASK16)
-        borrow = np.uint32(1) - (v >> 16)
-    return jnp.stack(cols, axis=-1)
-
-
-def _add_raw(a, b):
-    """a + b, limbwise with carries resolved (last limb may exceed 16 bits)."""
-    return _carry_pass(a + b)
+    """(L, n) limb array -> list[int] (host-side, via bytes codec)."""
+    a = np.asarray(a)
+    L, n = a.shape
+    u16 = np.ascontiguousarray(a.T.astype("<u2"))
+    buf = u16.tobytes()
+    nbytes = 2 * L
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") for i in range(n)
+    ]
 
 
 class FieldSpec:
@@ -105,21 +77,24 @@ class FieldSpec:
 
     Precomputes the Montgomery constants for modulus ``n``:
       R = 2^(16 L) mod n, R2 = R^2 mod n, NPRIME = -n^(-1) mod R.
+
+    Note: both BLS12-381 moduli have top limb < 2^15, so the sum of two
+    canonical elements never overflows the top 16-bit limb — add/sub can
+    stay within L limbs.
     """
 
     def __init__(self, modulus: int, L: int):
-        assert modulus < (1 << (16 * L))
+        assert modulus < (1 << (16 * L - 1)), "top limb must have headroom"
         self.modulus = modulus
         self.L = L
         self.R = (1 << (16 * L)) % modulus
         self.R2 = self.R * self.R % modulus
         self.NPRIME = (-pow(modulus, -1, 1 << (16 * L))) % (1 << (16 * L))
-        # device-side constants
-        self.n_limbs = int_to_limbs(modulus, L)
-        self.nprime_limbs = int_to_limbs(self.NPRIME, L)
-        self.r2_limbs = int_to_limbs(self.R2, L)
-        self.one_mont = int_to_limbs(self.R % modulus, L)
-        self.zero = np.zeros(L, dtype=np.uint32)
+        # device-side constants, shape (L, 1) so they broadcast over batches
+        self.n_limbs = int_to_limbs(modulus, L).reshape(L, 1)
+        self.nprime_limbs = int_to_limbs(self.NPRIME, L).reshape(L, 1)
+        self.r2_limbs = int_to_limbs(self.R2, L).reshape(L, 1)
+        self.one_mont = int_to_limbs(self.R % modulus, L).reshape(L, 1)
 
     # -- host-side conversions -------------------------------------------------
 
@@ -130,7 +105,7 @@ class FieldSpec:
         return x * pow(self.R, -1, self.modulus) % self.modulus
 
     def pack_mont(self, xs) -> np.ndarray:
-        """list[int] canonical residues -> (n, L) Montgomery-form limb array."""
+        """list[int] canonical residues -> (L, n) Montgomery-form limb array."""
         return ints_to_array([x * self.R % self.modulus for x in xs], self.L)
 
     def unpack_mont(self, a) -> list[int]:
@@ -138,90 +113,169 @@ class FieldSpec:
         return [v * rinv % self.modulus for v in array_to_ints(a)]
 
     def pack_raw(self, xs) -> np.ndarray:
-        """list[int] -> limb array with NO Montgomery scaling (e.g. scalars for MSM)."""
+        """list[int] -> (L, n) limb array, NO Montgomery scaling (e.g. MSM scalars)."""
         return ints_to_array([x % self.modulus for x in xs], self.L)
 
 
 # -----------------------------------------------------------------------------
-# Modular ops (all take the FieldSpec as a static first arg)
+# Carry / borrow resolution via Kogge–Stone prefix scans
 # -----------------------------------------------------------------------------
+
+
+def _carry_monoid(a, b):
+    """(generate, propagate) composition for carry lookahead, scan order
+    low->high: out.g = g_hi | (p_hi & g_lo), out.p = p_lo & p_hi."""
+    g1, p1 = a
+    g2, p2 = b
+    return (g2 | (p2 & g1), p1 & p2)
+
+
+def _shift_up(x, fill=0):
+    """Shift rows up by one limb position: out[k] = x[k-1], out[0] = fill."""
+    pad = jnp.full_like(x[:1], fill)
+    return jnp.concatenate([pad, x[:-1]], axis=0)
+
+
+def _carry_pass(t, mask_top: bool = False):
+    """Normalize limbs to 16 bits over axis 0.
+
+    Precondition: every limb < 2^31 (headroom for one add). Output limbs
+    are < 2^16; the top limb keeps any residual carry unless ``mask_top``.
+    Two rounds: a value round (carries up to 2^15) then a binary-carry
+    Kogge–Stone round.
+    """
+    # round 1: strip >16-bit parts, add one position up
+    s = (t & MASK16) + _shift_up(t >> 16)
+    # now limbs < 2^16 + 2^15; binary carries remain
+    g = (s >> 16).astype(jnp.bool_)
+    p = (s & MASK16) == MASK16
+    G, _ = jax.lax.associative_scan(_carry_monoid, (g, p), axis=0)
+    carry_in = _shift_up(G.astype(U32))
+    out = (s + carry_in) & MASK16
+    if not mask_top:
+        # re-attach the top limb's carry-out (value may exceed 16 bits there)
+        top = s[-1:] + carry_in[-1:]
+        out = jnp.concatenate([out[:-1], top], axis=0)
+    return out
+
+
+def _borrow_scan(a, b):
+    """Borrow-lookahead for a - b (limbwise, both <= 16-bit limbs).
+
+    Returns (diff_limbs, borrow_out) where diff = a - b + borrow_out * 2^(16L).
+    """
+    d = a + np.uint32(0x10000) - b  # in [1, 2^17); borrow-free partial diff
+    g = d < np.uint32(0x10000)  # generates a borrow
+    p = (d & MASK16) == 0  # propagates a borrow (d == 0x10000)
+    G, _ = jax.lax.associative_scan(_carry_monoid, (g, p), axis=0)
+    borrow_in = _shift_up(G.astype(U32))
+    out = (d - borrow_in) & MASK16
+    return out, G[-1]
+
+
+def _geq(a, b):
+    """a >= b over little-endian 16-bit limbs. Returns bool (batch,)."""
+    _, borrow = _borrow_scan(a, b)
+    return ~borrow
+
+
+def _sub_raw(a, b):
+    """a - b assuming a >= b."""
+    out, _ = _borrow_scan(a, b)
+    return out
+
+
+def _add_raw(a, b):
+    """a + b with carries resolved (top limb may exceed 16 bits)."""
+    return _carry_pass(a + b)
+
+
+# -----------------------------------------------------------------------------
+# Modular ops (spec is a static argument)
+# -----------------------------------------------------------------------------
+
+
+def _bc(spec_const, ref):
+    """Broadcast an (L, 1) spec constant to ref's shape."""
+    c = jnp.asarray(spec_const, dtype=U32)
+    return jnp.broadcast_to(c.reshape(c.shape[:1] + (1,) * (ref.ndim - 1)), ref.shape)
 
 
 def add_mod(spec: FieldSpec, a, b):
     """(a + b) mod n for canonical a, b."""
     a, b = jnp.broadcast_arrays(a, b)
-    s = _add_raw(a, b)  # last limb may hold a carry bit
-    n = jnp.asarray(spec.n_limbs, dtype=U32)
-    ge = _geq(s, jnp.broadcast_to(n, s.shape))
-    red = _sub_raw(s, jnp.broadcast_to(n, s.shape))
-    return jnp.where(ge[..., None], red, s)
+    s = _add_raw(a, b)  # top limb < 2^16 (modulus headroom)
+    n = _bc(spec.n_limbs, s)
+    red, borrow = _borrow_scan(s, n)
+    return jnp.where(borrow, s, red)
 
 
 def sub_mod(spec: FieldSpec, a, b):
     """(a - b) mod n for canonical a, b."""
     a, b = jnp.broadcast_arrays(a, b)
-    n = jnp.asarray(spec.n_limbs, dtype=U32)
-    lt = ~_geq(a, b)
-    a_adj = jnp.where(lt[..., None], _add_raw(a, jnp.broadcast_to(n, a.shape)), a)
-    return _sub_raw(a_adj, jnp.broadcast_to(b, a_adj.shape))
+    d, borrow = _borrow_scan(a, b)
+    n = _bc(spec.n_limbs, d)
+    # on borrow, d holds a - b + 2^(16L); adding n and masking the top
+    # limb's carry-out subtracts the 2^(16L) again -> a - b + n
+    fixed = _carry_pass(d + n, mask_top=True)
+    return jnp.where(borrow, fixed, d)
 
 
 def neg_mod(spec: FieldSpec, a):
     """(-a) mod n; maps 0 -> 0."""
-    n = jnp.asarray(spec.n_limbs, dtype=U32)
-    is_zero = jnp.all(a == 0, axis=-1)
-    d = _sub_raw(jnp.broadcast_to(n, a.shape), a)
-    return jnp.where(is_zero[..., None], jnp.zeros_like(a), d)
+    n = _bc(spec.n_limbs, a)
+    d = _sub_raw(n, a)
+    return jnp.where(is_zero(a), jnp.zeros_like(a), d)
 
 
 def _mul_wide(a, b, out_limbs: int):
-    """Schoolbook product of 16-bit-limb numbers, carry-normalized.
+    """Schoolbook product over 16-bit limbs, carry-normalized.
 
-    a: (..., La), b: (..., Lb) -> (..., out_limbs), each output limb < 2^16
-    except possibly the top. Shifted multiply-accumulate with lo/hi split so
-    every intermediate stays in uint32.
+    a: (La, ...), b: (Lb, ...) -> (out_limbs, ...). Shifted
+    multiply-accumulate with lo/hi split keeps every intermediate in
+    uint32 (static-offset slice updates on the leading axis).
     """
-    La = a.shape[-1]
-    Lb = b.shape[-1]
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    lo = jnp.zeros(shape + (out_limbs,), dtype=U32)
-    hi = jnp.zeros(shape + (out_limbs,), dtype=U32)
+    La = a.shape[0]
+    Lb = b.shape[0]
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    lo = jnp.zeros((out_limbs,) + shape, dtype=U32)
+    hi = jnp.zeros((out_limbs,) + shape, dtype=U32)
     for i in range(La):
-        p = a[..., i : i + 1] * b  # exact: 16x16 -> 32 bits
+        p = a[i : i + 1] * b  # exact: 16x16 -> 32 bits
         w = min(Lb, out_limbs - i)
         if w <= 0:
             break
-        lo = lo.at[..., i : i + w].add(p[..., :w] & MASK16)
+        lo = lo.at[i : i + w].add(p[:w] & MASK16)
         w2 = min(Lb, out_limbs - i - 1)
         if w2 > 0:
-            hi = hi.at[..., i + 1 : i + 1 + w2].add(p[..., :w2] >> 16)
-    # each limb <= (La + Lb) * (2^16 - 1) < 2^22: one carry pass suffices
+            hi = hi.at[i + 1 : i + 1 + w2].add(p[:w2] >> 16)
+    # each limb <= 2*max(La,Lb) * (2^16 - 1) < 2^22: one carry pass suffices
     return _carry_pass(lo + hi)
 
 
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product: a * b * R^{-1} mod n, canonical output.
 
-    Full-product reduction (the vector-friendly form of CIOS,
-    cf. scalar.rs:514-588): t = a*b; m = (t mod R) * N' mod R;
-    u = (t + m*n) / R; subtract n if u >= n.
+    Full-product reduction (vector form of CIOS, cf. scalar.rs:514-588):
+    t = a*b; m = (t mod R)*N' mod R; u = (t + m*n)/R; subtract n once.
     """
     L = spec.L
-    t = _mul_wide(a, b, 2 * L)  # (..., 2L)
-    nprime = jnp.asarray(spec.nprime_limbs, dtype=U32)
-    m = _mul_wide(t[..., :L], nprime, L)  # low L limbs only
-    m = m.at[..., L - 1].set(m[..., L - 1] & MASK16)  # truncate mod R
-    n = jnp.asarray(spec.n_limbs, dtype=U32)
-    mn = _mul_wide(m, n, 2 * L + 1)
-    # u = t + m*n; low L limbs are zero by construction; take limbs [L:2L+1]
-    u = _carry_pass(
-        jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (1,), dtype=U32)], axis=-1) + mn
+    a, b = jnp.broadcast_arrays(a, b)
+    t = _mul_wide(a, b, 2 * L)  # (2L, ...); top limb < 2^16 since t < n^2
+    m = _mul_wide(t[:L], _bc(spec.nprime_limbs, t[:L]), L)
+    m = m.at[L - 1].set(m[L - 1] & MASK16)  # truncate mod R
+    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L)  # m*n < R*n < 2^(32L)
+    # u = (t + m*n) / R; low L limbs of the sum are zero by construction.
+    # Top limb of the sum may carry one extra bit -> append a zero limb.
+    s = t + mn
+    s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
+    u = _carry_pass(s)
+    hi = u[L:]  # (L+1, ...); value < 2n
+    n_ext = jnp.concatenate(
+        [_bc(spec.n_limbs, hi[:L]), jnp.zeros((1,) + hi.shape[1:], dtype=U32)], axis=0
     )
-    hi = u[..., L:]  # (..., L+1); value < 2n
-    n_ext = jnp.concatenate([n, jnp.zeros(1, dtype=U32)])
-    ge = _geq(hi, jnp.broadcast_to(n_ext, hi.shape))
-    red = _sub_raw(hi, jnp.broadcast_to(n_ext, hi.shape))
-    return jnp.where(ge[..., None], red, hi)[..., :L]
+    red, borrow = _borrow_scan(hi, n_ext)
+    return jnp.where(borrow, hi, red)[:L]
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -230,26 +284,26 @@ def mont_sqr(spec: FieldSpec, a):
 
 def from_mont(spec: FieldSpec, a):
     """Montgomery form -> canonical residue (multiply by 1)."""
-    one = jnp.zeros(spec.L, dtype=U32).at[0].set(1)
+    one = jnp.zeros((spec.L,) + a.shape[1:], dtype=U32).at[0].set(1)
     return mont_mul(spec, a, one)
 
 
 def to_mont(spec: FieldSpec, a):
     """Canonical residue -> Montgomery form (multiply by R^2)."""
-    return mont_mul(spec, a, jnp.asarray(spec.r2_limbs, dtype=U32))
+    return mont_mul(spec, a, _bc(spec.r2_limbs, a))
 
 
 def select(cond, a, b):
-    """Elementwise select: cond (...,) bool -> a where true else b."""
-    return jnp.where(cond[..., None], a, b)
+    """Lane select: cond (batch,) bool -> a where true else b. Limb axis leads."""
+    return jnp.where(cond[None], a, b)
 
 
 def is_zero(a):
-    return jnp.all(a == 0, axis=-1)
+    return jnp.all(a == 0, axis=0)
 
 
 def eq(a, b):
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(a == b, axis=0)
 
 
 def mont_pow_fixed(spec: FieldSpec, a, exponent: int):
@@ -258,24 +312,21 @@ def mont_pow_fixed(spec: FieldSpec, a, exponent: int):
     Left-to-right square-and-multiply as a lax.scan over the exponent bits
     (compile cost: two mont_mul bodies, not bit-length many)."""
     if exponent == 0:
-        return jnp.broadcast_to(jnp.asarray(spec.one_mont, dtype=U32), a.shape)
-    bits = jnp.asarray(
-        [int(b) for b in bin(exponent)[2:]], dtype=jnp.uint32
-    )  # MSB first
+        return jnp.broadcast_to(_bc(spec.one_mont, a), a.shape)
+    bits = jnp.asarray([int(c) for c in bin(exponent)[2:]], dtype=U32)  # MSB first
 
     def step(r, bit):
         r = mont_sqr(spec, r)
-        r = select(bit == 1, mont_mul(spec, r, a), r)
+        r = jnp.where(bit == 1, mont_mul(spec, r, a), r)
         return r, None
 
-    # seed with the leading 1 bit: r = a, scan the rest
     r, _ = jax.lax.scan(step, a, bits[1:])
     return r
 
 
 # Jitted entry points (spec is static). Always prefer these at call
-# boundaries — eager dispatch of the hundreds of lane ops inside a
-# mont_mul is prohibitively slow, especially through a remote TPU tunnel.
+# boundaries — eager dispatch of the lane ops inside a mont_mul is slow,
+# especially through a remote TPU tunnel.
 add_mod_jit = functools.partial(jax.jit, static_argnums=0)(add_mod)
 sub_mod_jit = functools.partial(jax.jit, static_argnums=0)(sub_mod)
 neg_mod_jit = functools.partial(jax.jit, static_argnums=0)(neg_mod)

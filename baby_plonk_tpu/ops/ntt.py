@@ -3,17 +3,19 @@
 Computes the same function as the reference's O(n^2) matrix DFT
 (src/utils.rs:63-81 forward, :106-129 inverse with final n^{-1} scaling):
 forward X_j = sum_i x_i w^(ij), w = ROOT_OF_UNITY^(2^32/n). Here it is an
-O(n log n) iterative Cooley–Tukey, structured for XLA:
+O(n log n) iterative Cooley–Tukey structured for XLA:
 
 * one ``lax.fori_loop`` over the log2(n) stages whose body contains a
   single Montgomery multiply — butterfly geometry is derived from the
   stage counter with shift/mask arithmetic on an iota, so every stage has
   identical shapes and the compiled graph is O(1) in n;
-* twiddles come from one (n/2, L) table of w^k (Montgomery form) indexed
+* twiddles come from one (L, n/2) table of w^k (Montgomery form) indexed
   per stage — no per-stage tables;
 * the bit-reversal permutation is a host-precomputed gather.
 
-Cross-chip stage exchange lives in ``baby_plonk_tpu.parallel``.
+Data layout is limb-major: a polynomial batch is (16, ..., n) uint32 with
+the position axis last (riding the TPU lane axis). Cross-chip stage
+exchange lives in ``baby_plonk_tpu.parallel``.
 """
 from __future__ import annotations
 
@@ -45,50 +47,46 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _plan(n: int, inverse: bool):
-    """(perm, twiddle_table, n_inv) host tables for a size-n transform."""
+    """(perm, twiddle_table (16, n/2), n_inv (16, 1)) host tables."""
     root = fr.root_of_unity(n) if n > 1 else 1
     if inverse:
         root = pow(root, fr.Q - 2, fr.Q)
     tw = [1] * max(n // 2, 1)
     for i in range(1, n // 2):
         tw[i] = tw[i - 1] * root % fr.Q
-    n_inv = FR_SPEC.pack_mont([pow(n, fr.Q - 2, fr.Q)])[0]
-    return (
-        _bit_reverse_perm(n),
-        FR_SPEC.pack_mont(tw),
-        n_inv,
-    )
+    n_inv = FR_SPEC.pack_mont([pow(n, fr.Q - 2, fr.Q)])
+    return _bit_reverse_perm(n), FR_SPEC.pack_mont(tw), n_inv
 
 
 def ntt_mont(a, inverse: bool, perm, tw, n_inv):
-    """NTT of Montgomery-form values. a: (..., n, L) -> same shape."""
+    """NTT of Montgomery-form values. a: (16, ..., n) -> same shape."""
     spec = FR_SPEC
-    n = a.shape[-2]
+    n = a.shape[-1]
     if n == 1:
         return a
     logn = n.bit_length() - 1
-    lead = a.shape[:-2]
-    a = jnp.take(a, perm, axis=-2)
+    nbatch = a.ndim - 2  # extra batch axes between limb and position
+    a = jnp.take(a, perm, axis=-1)
     j = jax.lax.broadcasted_iota(jnp.int32, (n // 2, 1), 0)[:, 0]  # 0..n/2-1
     p = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]  # 0..n-1
 
     def stage(s, a):
         half = jnp.left_shift(1, s)
         hm = half - 1
-        # butterfly j: u at block*2half + i, v at u + half (i = j & hm)
         i_in_blk = j & hm
-        u_idx = ((j >> s) << (s + 1)) | i_in_blk
+        u_idx = ((j >> s) << (s + 1)) | i_in_blk  # first butterfly input
         v_idx = u_idx + half
-        u = jnp.take(a, u_idx, axis=-2)
-        v = jnp.take(a, v_idx, axis=-2)
+        u = jnp.take(a, u_idx, axis=-1)
+        v = jnp.take(a, v_idx, axis=-1)
         # twiddle exponent: i * (n / (2*half)) = i << (logn - 1 - s)
         t_idx = i_in_blk << (logn - 1 - s)
-        w = jnp.take(tw, t_idx, axis=0)
+        w = jnp.take(tw, t_idx, axis=-1)  # (16, n/2)
+        w = w.reshape(w.shape[:1] + (1,) * nbatch + w.shape[1:])
         vw = limbs.mont_mul(spec, v, w)
-        bu = limbs.add_mod(spec, u, vw)
-        bv = limbs.sub_mod(spec, u, vw)
-        cat = jnp.concatenate([bu, bv], axis=-2)  # (..., n, L)
-        # inverse permutation: output pos p <- bu/bv index
+        cat = jnp.concatenate(
+            [limbs.add_mod(spec, u, vw), limbs.sub_mod(spec, u, vw)], axis=-1
+        )  # (16, ..., n): butterflies then their mirrors
+        # inverse permutation: output position p <- concat index
         blk = p >> (s + 1)
         r = p & ((half << 1) - 1)
         src = jnp.where(
@@ -96,11 +94,12 @@ def ntt_mont(a, inverse: bool, perm, tw, n_inv):
             (blk << s) + r,
             (n // 2) + (blk << s) + (r - half),
         )
-        return jnp.take(cat, src, axis=-2)
+        return jnp.take(cat, src, axis=-1)
 
     a = jax.lax.fori_loop(0, logn, stage, a)
     if inverse:
-        a = limbs.mont_mul(spec, a, n_inv)
+        ni = n_inv.reshape(n_inv.shape[:1] + (1,) * nbatch + (1,))
+        a = limbs.mont_mul(spec, a, ni)
     return a
 
 
@@ -110,10 +109,12 @@ def _ntt_jit(a, inverse: bool, perm, tw, n_inv):
 
 
 def ntt_device(a_mont, inverse: bool = False):
-    """Jitted NTT on a device array of Montgomery-form Fr limbs (..., n, L)."""
-    n = a_mont.shape[-2]
+    """Jitted NTT on Montgomery-form Fr limbs (16, ..., n), position last."""
+    n = a_mont.shape[-1]
     perm, tw, n_inv = _plan(n, inverse)
-    return _ntt_jit(a_mont, inverse, jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv))
+    return _ntt_jit(
+        a_mont, inverse, jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv)
+    )
 
 
 # -- host-boundary helpers ----------------------------------------------------

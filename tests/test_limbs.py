@@ -76,7 +76,7 @@ def test_mont_pow_fixed():
 def test_broadcasting():
     xs = _rand(FR, 8)
     y = _rand(FR, 1)
-    a = FR.pack_mont(xs).reshape(2, 4, 16)
-    b = FR.pack_mont(y)[0]  # (16,)
-    got = FR.unpack_mont(np.asarray(limbs.mont_mul_jit(FR, a, b)).reshape(8, 16))
+    a = FR.pack_mont(xs).reshape(16, 2, 4)
+    b = FR.pack_mont(y).reshape(16, 1, 1)
+    got = FR.unpack_mont(np.asarray(limbs.mont_mul_jit(FR, a, b)).reshape(16, 8))
     assert got == [x * y[0] % fr.Q for x in xs]

@@ -32,9 +32,9 @@ def test_ntt_batched():
     n, b = 32, 3
     polys = [[rng.randrange(fr.Q) for _ in range(n)] for _ in range(b)]
     a = jnp.asarray(
-        np.stack([dntt.FR_SPEC.pack_mont(p) for p in polys])
-    )  # (b, n, 16)
+        np.stack([dntt.FR_SPEC.pack_mont(p) for p in polys], axis=1)
+    )  # (16, b, n)
     out = dntt.ntt_device(a)
     for i in range(b):
-        got = dntt.FR_SPEC.unpack_mont(np.asarray(out[i]))
+        got = dntt.FR_SPEC.unpack_mont(np.asarray(out[:, i]))
         assert got == hostpoly.ntt(polys[i])

@@ -1,0 +1,70 @@
+"""Distributed kernels on the virtual 8-device CPU mesh (SURVEY.md §7.1 step 8)."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baby_plonk_tpu.curves.g1 import G1
+from baby_plonk_tpu.curves import msm_host
+from baby_plonk_tpu.fields import fr
+from baby_plonk_tpu.ops import g1_vec
+from baby_plonk_tpu.ops.ntt import FR_SPEC
+from baby_plonk_tpu.parallel import dmsm, dntt
+from baby_plonk_tpu.parallel.mesh import make_mesh
+from baby_plonk_tpu.protocol import poly as hostpoly
+
+rng = random.Random(4242)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def test_dntt_matches_host(mesh):
+    n = 256  # D=8, m=32, m/D=4
+    vals = [rng.randrange(fr.Q) for _ in range(n)]
+    got = dntt.ntt_ints_sharded(vals, mesh)
+    assert got == hostpoly.ntt(vals)
+
+
+def test_dntt_inverse_matches_host(mesh):
+    n = 512
+    vals = [rng.randrange(fr.Q) for _ in range(n)]
+    got = dntt.ntt_ints_sharded(vals, mesh, inverse=True)
+    assert got == hostpoly.i_ntt(vals)
+
+
+def test_dmsm_matches_host(mesh):
+    n = 32
+    pts = [G1.generator() * rng.randrange(1, fr.Q) for _ in range(n)]
+    scalars = [rng.randrange(fr.Q) for _ in range(n)]
+    got = dmsm.msm_sharded(pts, scalars, mesh)
+    assert got == msm_host.msm(pts, scalars)
+
+
+def test_prove_step_sharded(mesh):
+    """Full sharded round-1-shaped step: iNTT + 3 commits over the mesh."""
+    from baby_plonk_tpu.parallel import prove_step
+    from baby_plonk_tpu.curves import msm_host as mh
+
+    n = 64
+    D = 8
+    cols_ints = [[rng.randrange(fr.Q) for _ in range(n)] for _ in range(3)]
+    cols = jnp.asarray(
+        np.stack([FR_SPEC.pack_mont(c) for c in cols_ints], axis=1)
+    )  # (16, 3, n)
+    tau = 9999
+    srs = [G1.generator() * pow(tau, i, fr.Q) for i in range(n)]
+    perm = prove_step.cyclic_perm(n, D)
+    srs_cyclic = [srs[perm[i]] for i in range(n)]
+    px, py, pz = g1_vec.points_to_device(srs_cyclic)
+    outs = prove_step.prove_step_sharded(cols, px, py, pz, mesh)
+    for i in range(3):
+        got = g1_vec.point_from_device(outs[i])
+        coeffs = hostpoly.i_ntt(cols_ints[i])
+        want = mh.msm(srs, coeffs)
+        assert got == want

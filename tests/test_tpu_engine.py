@@ -1,0 +1,42 @@
+"""TPU engine vs host engine: op-level agreement and byte-identical proofs."""
+import random
+
+import pytest
+
+from baby_plonk_tpu.fields import fr
+from baby_plonk_tpu.ops.engine import HostEngine
+from baby_plonk_tpu.ops.tpu_engine import TpuEngine
+from baby_plonk_tpu.protocol.program import Program
+from baby_plonk_tpu.protocol.prover import Prover
+from baby_plonk_tpu.protocol.setup import Setup
+from baby_plonk_tpu.protocol.verifier import Verifier
+
+rng = random.Random(31337)
+
+
+def test_grand_product_matches_host():
+    n = 16
+    roots = fr.roots_of_unity(n)
+    mk = lambda: [rng.randrange(fr.Q) for _ in range(n)]
+    a, b, c, s1, s2, s3 = mk(), mk(), mk(), mk(), mk(), mk()
+    beta, gamma = rng.randrange(fr.Q), rng.randrange(fr.Q)
+    host = HostEngine().grand_product(a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3)
+    tpu = TpuEngine().grand_product(a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3)
+    assert host == tpu
+
+
+def test_proof_bytes_identical_across_engines():
+    """Fixed blinding => byte-identical proofs host vs TPU engine
+    (SURVEY.md §4 determinism note)."""
+    n = 8
+    setup = Setup.generate_srs(n + 6, tau=101, cache=False)
+    program = Program.from_strs(
+        ["e public", "c <== a * b + b", "e <== c * d"], n
+    )
+    witness = {"a": 3, "b": 4, "c": 16, "d": 5, "e": 80}
+    blinding = list(range(1, 12))
+
+    p_host = Prover(setup, program, engine=HostEngine()).prove(witness, blinding=blinding)
+    p_tpu = Prover(setup, program, engine=TpuEngine()).prove(witness, blinding=blinding)
+    assert p_host.to_bytes() == p_tpu.to_bytes()
+    assert Verifier(setup, program, p_tpu).verify([80])
