@@ -29,6 +29,19 @@ class HostEngine:
     def ntt(self, values: list[int]) -> list[int]:
         return hostpoly.ntt(values)
 
+    # -- polynomial factory (host Poly / device DPoly share one interface) ----
+
+    def poly(self, values, basis):
+        return hostpoly.Poly(list(values), basis)
+
+    def vanishing(self, n: int):
+        return hostpoly.vanishing_poly(n)
+
+    def intt_poly(self, p):
+        """Lagrange poly object -> monomial poly object."""
+        assert p.basis == hostpoly.Basis.LAGRANGE
+        return hostpoly.Poly(hostpoly.i_ntt(p.values), hostpoly.Basis.MONOMIAL)
+
     def commit(self, setup, polynomial):
         return setup.commit(polynomial)
 

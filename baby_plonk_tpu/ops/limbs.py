@@ -95,6 +95,17 @@ class FieldSpec:
         self.nprime_limbs = int_to_limbs(self.NPRIME, L).reshape(L, 1)
         self.r2_limbs = int_to_limbs(self.R2, L).reshape(L, 1)
         self.one_mont = int_to_limbs(self.R % modulus, L).reshape(L, 1)
+        # native-codec constants (64-bit limb views; R = 2^(64*(L/4)) = 2^(16L))
+        nl = L // 4
+        self._mod_u64 = np.array(
+            [(modulus >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(nl)],
+            dtype=np.uint64,
+        )
+        self._r2_u64 = np.array(
+            [(self.R2 >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(nl)],
+            dtype=np.uint64,
+        )
+        self._n0inv64 = (-pow(modulus, -1, 1 << 64)) % (1 << 64)
 
     # -- host-side conversions -------------------------------------------------
 
@@ -105,12 +116,55 @@ class FieldSpec:
         return x * pow(self.R, -1, self.modulus) % self.modulus
 
     def pack_mont(self, xs) -> np.ndarray:
-        """list[int] canonical residues -> (L, n) Montgomery-form limb array."""
+        """list[int] canonical residues -> (L, n) Montgomery-form limb array.
+
+        Uses the native CIOS batch kernel (baby_plonk_tpu.native) when
+        available; pure-Python fallback otherwise."""
+        from .. import native
+
+        if native.available() and len(xs) >= 8:
+            u64 = self._ints_to_u64(xs)
+            scaled = native.mont_mul_batch(u64, self._r2_u64, self._mod_u64, self._n0inv64)
+            return self._u64_to_limbs(scaled)
         return ints_to_array([x * self.R % self.modulus for x in xs], self.L)
 
     def unpack_mont(self, a) -> list[int]:
+        from .. import native
+
+        a = np.asarray(a)
+        if native.available() and a.shape[-1] >= 8:
+            u64 = self._limbs_to_u64(a)
+            one = np.zeros(self.L // 4, dtype=np.uint64)
+            one[0] = 1
+            canon = native.mont_mul_batch(u64, one, self._mod_u64, self._n0inv64)
+            return self._u64_to_ints(canon)
         rinv = pow(self.R, -1, self.modulus)
         return [v * rinv % self.modulus for v in array_to_ints(a)]
+
+    # -- native-codec helpers (64-bit limb views) ------------------------------
+
+    def _ints_to_u64(self, xs) -> np.ndarray:
+        nbytes = 2 * self.L
+        buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+        return np.frombuffer(buf, dtype="<u8").reshape(len(xs), self.L // 4).copy()
+
+    def _u64_to_ints(self, u64) -> list[int]:
+        buf = np.ascontiguousarray(u64, dtype="<u8").tobytes()
+        nbytes = 2 * self.L
+        return [
+            int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+            for i in range(u64.shape[0])
+        ]
+
+    def _u64_to_limbs(self, u64) -> np.ndarray:
+        n = u64.shape[0]
+        u16 = np.ascontiguousarray(u64, dtype="<u8").view("<u2").reshape(n, self.L)
+        return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+    def _limbs_to_u64(self, a) -> np.ndarray:
+        L, n = a.shape
+        u16 = np.ascontiguousarray(a.T.astype("<u2"))
+        return u16.view("<u8").reshape(n, L // 4).copy()
 
     def pack_raw(self, xs) -> np.ndarray:
         """list[int] -> (L, n) limb array, NO Montgomery scaling (e.g. MSM scalars)."""

@@ -1,0 +1,92 @@
+"""Device-side SRS generation: powers-of-tau fixed-base multiplication.
+
+The reference computes the SRS with a serial chain of 255-bit scalar
+multiplications (setup.rs:12-31, one full G1 multiply per power). Here the
+scalar powers tau^i are computed host-side (cheap field muls), then all
+fixed-base multiplications tau^i * G run as ONE vectorized bit-serial
+double-and-add over the batch — identical structure to the MSM kernel but
+without the final reduction, so the cost is O(255) full-width passes for
+the entire SRS.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+from . import g1_vec, limbs
+from .g1_vec import FQ_SPEC
+from .msm import FR_SPEC, BITS
+
+
+@jax.jit
+def _fixed_base_kernel(px, py, pz, scalars):
+    """px/py/pz: (24, n) Montgomery base points (typically one point tiled);
+    scalars: (16, n) raw limbs. Returns per-lane scalar multiples (24, n) x3."""
+    zero = px & np.uint32(0)
+    one = zero + jnp.asarray(FQ_SPEC.one_mont)
+    acc = (zero, one, zero)
+    base = (px, py, pz)
+
+    def step(bit, carry):
+        acc, base = carry
+        limb = jax.lax.dynamic_index_in_dim(scalars, bit >> 4, axis=0, keepdims=False)
+        b = (limb >> (bit & 15).astype(jnp.uint32)) & 1
+        acc = g1_vec.pselect(b == 1, g1_vec.padd(acc, base), acc)
+        base = g1_vec.pdouble(base)
+        return (acc, base)
+
+    acc, _ = jax.lax.fori_loop(0, BITS, step, (acc, base))
+    return acc
+
+
+def powers_of_tau_device(powers: int, tau: int):
+    """(X, Y, Z) device arrays (24, powers) with column i = tau^i * G."""
+    tau = tau % fr.Q
+    cur = 1
+    scalars = []
+    for _ in range(powers):
+        scalars.append(cur)
+        cur = cur * tau % fr.Q
+    from ..curves.g1 import G1
+
+    gx, gy = G1.generator().to_affine()
+    px = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gx])), (1, powers))
+    py = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gy])), (1, powers))
+    pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, powers))
+    sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+    return _fixed_base_kernel(px, py, pz, sc)
+
+
+def device_points_to_host(p) -> list:
+    """(24, n) x3 projective Montgomery -> list[G1] via one batch inversion."""
+    from ..curves.g1 import G1
+    from ..fields import fq
+
+    X = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[0])))
+    Y = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[1])))
+    Z = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[2])))
+    # batch-invert nonzero Zs (Montgomery's trick)
+    idxs = [i for i, z in enumerate(Z) if z != 0]
+    invs = fq_batch_inv([Z[i] for i in idxs])
+    out = [G1.identity()] * len(Z)
+    for j, i in enumerate(idxs):
+        zi = invs[j]
+        out[i] = G1.from_affine(X[i] * zi % fq.P, Y[i] * zi % fq.P)
+    return out
+
+
+def fq_batch_inv(values):
+    from ..fields import fq
+
+    n = len(values)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(values):
+        prefix[i + 1] = prefix[i] * v % fq.P
+    total = fq.inv(prefix[n])
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * total % fq.P
+        total = total * values[i] % fq.P
+    return out

@@ -27,6 +27,11 @@ FR_SPEC = dmsm.FR_SPEC
 Q = fr.Q
 
 
+@jax.jit
+def _from_mont_jit(vals):
+    return limbs.from_mont(FR_SPEC, vals)
+
+
 def _scan_mul(x):
     """Inclusive prefix product along the batch (last) axis (Montgomery form)."""
     return jax.lax.associative_scan(
@@ -77,12 +82,46 @@ class TpuEngine:
     def ntt(self, values: list[int]) -> list[int]:
         return dntt.ntt_ints(values)
 
+    # -- polynomial factory ---------------------------------------------------
+
+    def poly(self, values, basis):
+        from .dpoly import DPoly
+
+        return DPoly.from_ints(list(values), basis)
+
+    def vanishing(self, n: int):
+        from .dpoly import DPoly
+
+        return DPoly.vanishing(n)
+
+    def intt_poly(self, p):
+        from ..protocol.poly import Basis
+        from .dpoly import DPoly
+
+        if isinstance(p, DPoly):
+            return p.to_monomial()
+        # host Poly input (e.g. preprocessed selectors): pack then convert
+        return DPoly.from_ints(p.values, Basis.LAGRANGE).to_monomial()
+
     # -- KZG commit -----------------------------------------------------------
 
     def commit(self, setup, polynomial):
         from ..protocol.poly import Basis
+        from .dpoly import DPoly
 
         assert polynomial.basis == Basis.MONOMIAL
+        if isinstance(polynomial, DPoly):
+            # device-resident fast path: no host sync of the coefficients
+            k = polynomial.vals.shape[-1]
+            assert k <= setup.srs_len(), (
+                f"polynomial length {k} exceeds SRS size"
+            )
+            if setup._tpu_cache is None:
+                setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
+            px, py, pz = setup._tpu_cache
+            raw = _from_mont_jit(polynomial.vals)
+            out = dmsm.msm_device_arrays((px[:, :k], py[:, :k], pz[:, :k]), raw)
+            return g1_vec.point_from_device(out)
         values = list(polynomial.values)
         while values and values[-1] == 0:
             values.pop()
@@ -90,7 +129,7 @@ class TpuEngine:
             from ..curves.g1 import G1
 
             return G1.identity()
-        assert len(values) <= len(setup.powers_of_x), (
+        assert len(values) <= setup.srs_len(), (
             f"polynomial degree {len(values) - 1} exceeds SRS size"
         )
         if setup._tpu_cache is None:

@@ -229,6 +229,18 @@ class Poly:
         """self + other*beta + gamma (utils.rs:169-175)."""
         return self + other * beta + gamma
 
+    def slice_coeffs(self, start: int, stop: int | None = None) -> "Poly":
+        """Coefficient range [start, stop) as a monomial poly (zero-padded
+        if the range extends past the stored length)."""
+        assert self.basis == Basis.MONOMIAL
+        vals = self.values[start:stop]
+        if stop is not None and len(vals) < stop - start:
+            vals = vals + [0] * (stop - start - len(vals))
+        return Poly(vals or [0], Basis.MONOMIAL)
+
+    def __len__(self):
+        return len(self.values)
+
     def degree(self) -> int:
         assert self.basis == Basis.MONOMIAL
         t = _trim(self.values)

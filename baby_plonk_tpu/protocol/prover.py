@@ -25,7 +25,7 @@ from dataclasses import dataclass
 
 from ..fields import fr
 from ..curves.g1 import G1
-from .poly import Basis, Poly, vanishing_poly
+from .poly import Basis, Poly
 from .program import Program
 from .proof import Proof
 from .setup import Setup
@@ -61,9 +61,12 @@ class Prover:
 
     # -- engine dispatch helpers ------------------------------------------------
 
-    def _intt(self, p: Poly) -> Poly:
+    def _intt(self, p):
         assert p.basis == Basis.LAGRANGE
-        return Poly(self.engine.intt(p.values), Basis.MONOMIAL)
+        return self.engine.intt_poly(p)
+
+    def _poly(self, values, basis):
+        return self.engine.poly(values, basis)
 
     def _commit(self, p: Poly) -> G1:
         return self.engine.commit(self.setup, p)
@@ -91,7 +94,7 @@ class Prover:
         public_vars = self.program.get_public_assignment()
         pi_values = [(-self.witness[v]) % Q for v in public_vars]
         pi_values += [0] * (n - len(pi_values))
-        self.public_input_poly = Poly(pi_values, Basis.LAGRANGE)
+        self.public_input_poly = self._poly(pi_values, Basis.LAGRANGE)
 
         a_1, b_1, c_1 = self.round_1()
         ch.beta, ch.gamma = transcript.round_1(a_1, b_1, c_1)
@@ -138,17 +141,18 @@ class Prover:
         b_values = col(lambda c: c.wires.R)
         c_values = col(lambda c: c.wires.O)
 
-        z_h = vanishing_poly(n)
+        z_h = self.engine.vanishing(n)
         b1, b2, b3, b4, b5, b6 = self.blinding[:6]
 
-        self.a = Poly(a_values, Basis.LAGRANGE)
-        self.b = Poly(b_values, Basis.LAGRANGE)
-        self.c = Poly(c_values, Basis.LAGRANGE)
+        self.a_values, self.b_values, self.c_values = a_values, b_values, c_values
+        self.a = self._poly(a_values, Basis.LAGRANGE)
+        self.b = self._poly(b_values, Basis.LAGRANGE)
+        self.c = self._poly(c_values, Basis.LAGRANGE)
 
         # blinding polys are (b2 + b1 x), (b4 + b3 x), (b6 + b5 x) (prover.rs:241-243)
-        self.a_coeff = Poly([b2, b1], Basis.MONOMIAL) * z_h + self._intt(self.a)
-        self.b_coeff = Poly([b4, b3], Basis.MONOMIAL) * z_h + self._intt(self.b)
-        self.c_coeff = Poly([b6, b5], Basis.MONOMIAL) * z_h + self._intt(self.c)
+        self.a_coeff = self._poly([b2, b1], Basis.MONOMIAL) * z_h + self._intt(self.a)
+        self.b_coeff = self._poly([b4, b3], Basis.MONOMIAL) * z_h + self._intt(self.b)
+        self.c_coeff = self._poly([b6, b5], Basis.MONOMIAL) * z_h + self._intt(self.c)
         self.z_h_coeff = z_h
 
         return self._commit(self.a_coeff), self._commit(self.b_coeff), self._commit(self.c_coeff)
@@ -159,7 +163,7 @@ class Prover:
         n = self.group_order
         beta, gamma = self.ch.beta, self.ch.gamma
         roots = fr.roots_of_unity(n)
-        a, b, c = self.a.values, self.b.values, self.c.values
+        a, b, c = self.a_values, self.b_values, self.c_values
         s1, s2, s3 = self.pk.s1.values, self.pk.s2.values, self.pk.s3.values
 
         z_values = self.engine.grand_product(
@@ -170,9 +174,9 @@ class Prover:
         z_values = z_values[:-1]
 
         b7, b8, b9 = self.blinding[6:9]
-        self.z = Poly(z_values, Basis.LAGRANGE)
+        self.z = self._poly(z_values, Basis.LAGRANGE)
         # blinding poly b9 + b8 x + b7 x^2 (prover.rs:359)
-        self.z_coeff = Poly([b9, b8, b7], Basis.MONOMIAL) * self.z_h_coeff + self._intt(self.z)
+        self.z_coeff = self._poly([b9, b8, b7], Basis.MONOMIAL) * self.z_h_coeff + self._intt(self.z)
         return self._commit(self.z_coeff)
 
     # -- round 3 ------------------------------------------------------------------
@@ -207,7 +211,7 @@ class Prover:
         )
 
         # iNTT of the identity permutation values w^i is the polynomial x
-        x_poly = Poly([0, 1], Basis.MONOMIAL)
+        x_poly = self._poly([0, 1], Basis.MONOMIAL)
         omega = fr.root_of_unity(n)
         z_omega_c = z_c.scale_domain(omega)
         self.z_omega_coeff = z_omega_c
@@ -229,14 +233,13 @@ class Prover:
         t_coeff = all_constraints.divide_by_vanishing(n)
 
         # split into t_lo | t_mid | t_hi at n, 2n (prover.rs:649-659)
-        tv = t_coeff.values + [0] * max(0, 3 * n - len(t_coeff.values))
-        t_lo = Poly(tv[:n], Basis.MONOMIAL)
-        t_mid = Poly(tv[n : 2 * n], Basis.MONOMIAL)
-        t_hi = Poly(tv[2 * n :], Basis.MONOMIAL)
+        t_lo = t_coeff.slice_coeffs(0, n)
+        t_mid = t_coeff.slice_coeffs(n, 2 * n)
+        t_hi = t_coeff.slice_coeffs(2 * n, max(len(t_coeff), 2 * n + 1))
 
         # cross-blinding (prover.rs:470-481)
         b10, b11 = self.blinding[9], self.blinding[10]
-        x_n = Poly([0] * n + [1], Basis.MONOMIAL)
+        x_n = self._poly([0] * n + [1], Basis.MONOMIAL)
         t_lo = t_lo + x_n * b10
         t_mid = t_mid + x_n * b11 - b10
         t_hi = t_hi - b11
@@ -244,9 +247,9 @@ class Prover:
         self.t_lo_coeff, self.t_mid_coeff, self.t_hi_coeff = t_lo, t_mid, t_hi
         return self._commit(t_lo), self._commit(t_mid), self._commit(t_hi)
 
-    def _l1_coeff(self) -> Poly:
+    def _l1_coeff(self):
         n = self.group_order
-        return Poly(self.engine.intt([1] + [0] * (n - 1)), Basis.MONOMIAL)
+        return self._intt(self._poly([1] + [0] * (n - 1), Basis.LAGRANGE))
 
     # -- round 4 ------------------------------------------------------------------
 

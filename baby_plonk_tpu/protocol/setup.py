@@ -29,10 +29,34 @@ _CACHE_DIR = os.environ.get(
 
 
 class Setup:
-    def __init__(self, powers_of_x: list[G1], x_2: G2):
+    def __init__(self, powers_of_x: list[G1] | None, x_2: G2, n_powers: int | None = None):
         self.powers_of_x = powers_of_x
         self.x_2 = x_2
+        self.n_powers = n_powers if n_powers is not None else len(powers_of_x or [])
         self._tpu_cache = None  # device-resident SRS, filled lazily by the TPU engine
+
+    def srs_len(self) -> int:
+        return self.n_powers
+
+    @staticmethod
+    def generate_srs_device(powers: int, tau: int) -> "Setup":
+        """SRS generated ON DEVICE: one batched fixed-base kernel instead of
+        the reference's serial scalar-mul chain (setup.rs:12-31). The G1
+        powers stay device-resident (no host point list at 2^20 scale);
+        host-side access materializes lazily via ``materialize_host()``."""
+        from ..ops import srs as dsrs
+
+        tau = tau % fr.Q
+        setup = Setup(None, G2.generator() * tau, n_powers=powers)
+        setup._tpu_cache = dsrs.powers_of_tau_device(powers, tau)
+        return setup
+
+    def materialize_host(self) -> None:
+        """Fill ``powers_of_x`` from the device arrays (batch inversion)."""
+        if self.powers_of_x is None:
+            from ..ops import srs as dsrs
+
+            self.powers_of_x = dsrs.device_points_to_host(self._tpu_cache)
 
     @staticmethod
     def generate_srs(powers: int, tau: int, cache: bool = True) -> "Setup":
@@ -77,7 +101,9 @@ class Setup:
         nonzero_len = len(values)
         while nonzero_len and values[nonzero_len - 1] == 0:
             nonzero_len -= 1
-        assert nonzero_len <= len(self.powers_of_x), (
-            f"polynomial degree {nonzero_len - 1} exceeds SRS size {len(self.powers_of_x)}"
+        assert nonzero_len <= self.srs_len(), (
+            f"polynomial degree {nonzero_len - 1} exceeds SRS size {self.srs_len()}"
         )
+        if self.powers_of_x is None:
+            self.materialize_host()
         return msm_host.msm(self.powers_of_x[:nonzero_len], values[:nonzero_len])

@@ -32,8 +32,16 @@ def _rotl(v: int, n: int) -> int:
 
 
 def keccak_f1600(state: bytearray) -> None:
-    """In-place Keccak-f[1600] on a 200-byte state."""
+    """In-place Keccak-f[1600] on a 200-byte state (native when available)."""
     assert len(state) == 200
+    try:
+        from .. import native
+
+        if native.available():
+            native.keccak_f1600(state)
+            return
+    except Exception:
+        pass
     lanes = [int.from_bytes(state[8 * i : 8 * i + 8], "little") for i in range(25)]
 
     for rc in _ROUND_CONSTANTS:
