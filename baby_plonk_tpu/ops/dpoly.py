@@ -223,10 +223,14 @@ class DPoly:
         out = _reduce_add(terms)
         return _SPEC.unpack_mont(np.asarray(jax.device_get(out)))[0]
 
-    def divide_by_vanishing(self, n: int, check: bool = True) -> "DPoly":
+    def divide_by_vanishing(self, n: int, check: bool | None = None) -> "DPoly":
         """Exact division by Z_H = x^n - 1: q[k] = sum_{t>=1} N[k + t n]
         (row-block exclusive suffix sums over T = ceil(len/n) rows)."""
         assert self.basis == Basis.MONOMIAL
+        if check is None:
+            from ..config import get_config
+
+            check = get_config().debug_asserts
         d = self.vals.shape[-1] - 1
         if d < n:
             if check:
@@ -252,9 +256,13 @@ class DPoly:
             )
         return DPoly(q, Basis.MONOMIAL)
 
-    def divide_by_linear(self, z: int, check: bool = True) -> "DPoly":
+    def divide_by_linear(self, z: int, check: bool | None = None) -> "DPoly":
         """Exact division by (x - z): q[k] = z^{-(k+1)} * sum_{t>k} N[t] z^t."""
         assert self.basis == Basis.MONOMIAL
+        if check is None:
+            from ..config import get_config
+
+            check = get_config().debug_asserts
         nlen = self.vals.shape[-1]
         if nlen == 1:
             if check:

@@ -90,9 +90,9 @@ def get_default_engine():
     """Host engine unless BPT_ENGINE=tpu selects the JAX engine."""
     global _default_engine
     if _default_engine is None:
-        import os
+        from ..config import get_config
 
-        if os.environ.get("BPT_ENGINE", "host") == "tpu":
+        if get_config().engine == "tpu":
             from .tpu_engine import TpuEngine
 
             _default_engine = TpuEngine()

@@ -48,8 +48,7 @@ def _stackmul(lhs, rhs):
 
 
 def _b3(ref):
-    b = jnp.asarray(B3_MONT)
-    return jnp.broadcast_to(b.reshape((24,) + (1,) * (ref.ndim - 1)), ref.shape)
+    return limbs.const_limbs(B3_MONT, ref.shape)
 
 
 def padd(p1, p2):
@@ -104,10 +103,7 @@ def pselect(cond, p_true, p_false):
 def pidentity(shape_suffix):
     """Identity batch (0 : 1 : 0) in Montgomery form, coords (24, *shape_suffix)."""
     zero = jnp.zeros((24,) + shape_suffix, dtype=jnp.uint32)
-    one = jnp.broadcast_to(
-        jnp.asarray(FQ_SPEC.one_mont).reshape((24,) + (1,) * len(shape_suffix)),
-        (24,) + shape_suffix,
-    )
+    one = limbs.const_limbs(FQ_SPEC.one_mont, (24,) + shape_suffix)
     return (zero, one, zero)
 
 

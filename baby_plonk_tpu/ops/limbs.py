@@ -176,18 +176,29 @@ class FieldSpec:
 # -----------------------------------------------------------------------------
 
 
-def _carry_monoid(a, b):
-    """(generate, propagate) composition for carry lookahead, scan order
-    low->high: out.g = g_hi | (p_hi & g_lo), out.p = p_lo & p_hi."""
-    g1, p1 = a
-    g2, p2 = b
-    return (g2 | (p2 & g1), p1 & p2)
-
-
 def _shift_up(x, fill=0):
     """Shift rows up by one limb position: out[k] = x[k-1], out[0] = fill."""
     pad = jnp.full_like(x[:1], fill)
     return jnp.concatenate([pad, x[:-1]], axis=0)
+
+
+def _ks_prefix_carry(g, p):
+    """Inclusive prefix carry-lookahead (Kogge–Stone): G[k] = carry-out of
+    limbs 0..k given per-limb (generate, propagate) bools.
+
+    Hand-rolled log-depth shift/combine (no lax.associative_scan — its
+    lowering captures constants, which Pallas kernels reject), combining
+    (g_hi | (p_hi & g_lo), p_lo & p_hi) with zero/one fills as identities.
+    """
+    L = g.shape[0]
+    shift = 1
+    while shift < L:
+        g_lo = jnp.concatenate([jnp.zeros_like(g[:shift]), g[:-shift]], axis=0)
+        p_lo = jnp.concatenate([jnp.ones_like(p[:shift]), p[:-shift]], axis=0)
+        g = g | (p & g_lo)
+        p = p & p_lo
+        shift <<= 1
+    return g
 
 
 def _carry_pass(t, mask_top: bool = False):
@@ -203,7 +214,7 @@ def _carry_pass(t, mask_top: bool = False):
     # now limbs < 2^16 + 2^15; binary carries remain
     g = (s >> 16).astype(jnp.bool_)
     p = (s & MASK16) == MASK16
-    G, _ = jax.lax.associative_scan(_carry_monoid, (g, p), axis=0)
+    G = _ks_prefix_carry(g, p)
     carry_in = _shift_up(G.astype(U32))
     out = (s + carry_in) & MASK16
     if not mask_top:
@@ -221,10 +232,13 @@ def _borrow_scan(a, b):
     d = a + np.uint32(0x10000) - b  # in [1, 2^17); borrow-free partial diff
     g = d < np.uint32(0x10000)  # generates a borrow
     p = (d & MASK16) == 0  # propagates a borrow (d == 0x10000)
-    G, _ = jax.lax.associative_scan(_carry_monoid, (g, p), axis=0)
+    G = _ks_prefix_carry(g, p)
     borrow_in = _shift_up(G.astype(U32))
     out = (d - borrow_in) & MASK16
-    return out, G[-1]
+    # positive-index slice: a negative scalar index lowers to dynamic_slice,
+    # which the Mosaic (Pallas TPU) backend cannot lower
+    L = G.shape[0]
+    return out, jnp.squeeze(G[L - 1 : L], axis=0)
 
 
 def _geq(a, b):
@@ -249,10 +263,20 @@ def _add_raw(a, b):
 # -----------------------------------------------------------------------------
 
 
+def const_limbs(spec_const, shape):
+    """Materialize a host-side (L, 1) constant as a (L, *shape[1:]) array
+    built from scalar literals.
+
+    Scalar literals inline into the jaxpr (no captured consts), which is
+    required for these helpers to be usable inside Pallas kernels."""
+    ints = [int(v) for v in np.asarray(spec_const).reshape(-1)]
+    rows = [jnp.full(shape[1:], v, dtype=U32) for v in ints]
+    return jnp.stack(rows, axis=0)
+
+
 def _bc(spec_const, ref):
     """Broadcast an (L, 1) spec constant to ref's shape."""
-    c = jnp.asarray(spec_const, dtype=U32)
-    return jnp.broadcast_to(c.reshape(c.shape[:1] + (1,) * (ref.ndim - 1)), ref.shape)
+    return const_limbs(spec_const, ref.shape)
 
 
 def add_mod(spec: FieldSpec, a, b):
@@ -294,15 +318,27 @@ def _mul_wide(a, b, out_limbs: int):
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     lo = jnp.zeros((out_limbs,) + shape, dtype=U32)
     hi = jnp.zeros((out_limbs,) + shape, dtype=U32)
+    def slice_add(acc, start, p):
+        # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
+        # scatter, which Mosaic cannot lower and XLA updates by copy
+        stop = start + p.shape[0]
+        parts = []
+        if start > 0:
+            parts.append(acc[:start])
+        parts.append(acc[start:stop] + p)
+        if stop < acc.shape[0]:
+            parts.append(acc[stop:])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     for i in range(La):
         p = a[i : i + 1] * b  # exact: 16x16 -> 32 bits
         w = min(Lb, out_limbs - i)
         if w <= 0:
             break
-        lo = lo.at[i : i + w].add(p[:w] & MASK16)
+        lo = slice_add(lo, i, p[:w] & MASK16)
         w2 = min(Lb, out_limbs - i - 1)
         if w2 > 0:
-            hi = hi.at[i + 1 : i + 1 + w2].add(p[:w2] >> 16)
+            hi = slice_add(hi, i + 1, p[:w2] >> 16)
     # each limb <= 2*max(La,Lb) * (2^16 - 1) < 2^22: one carry pass suffices
     return _carry_pass(lo + hi)
 
@@ -317,7 +353,7 @@ def mont_mul(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
     t = _mul_wide(a, b, 2 * L)  # (2L, ...); top limb < 2^16 since t < n^2
     m = _mul_wide(t[:L], _bc(spec.nprime_limbs, t[:L]), L)
-    m = m.at[L - 1].set(m[L - 1] & MASK16)  # truncate mod R
+    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & MASK16], axis=0)  # truncate mod R
     mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L)  # m*n < R*n < 2^(32L)
     # u = (t + m*n) / R; low L limbs of the sum are zero by construction.
     # Top limb of the sum may carry one extra bit -> append a zero limb.
@@ -338,7 +374,13 @@ def mont_sqr(spec: FieldSpec, a):
 
 def from_mont(spec: FieldSpec, a):
     """Montgomery form -> canonical residue (multiply by 1)."""
-    one = jnp.zeros((spec.L,) + a.shape[1:], dtype=U32).at[0].set(1)
+    one = jnp.concatenate(
+        [
+            jnp.ones((1,) + a.shape[1:], dtype=U32),
+            jnp.zeros((spec.L - 1,) + a.shape[1:], dtype=U32),
+        ],
+        axis=0,
+    )
     return mont_mul(spec, a, one)
 
 

@@ -96,19 +96,27 @@ class Prover:
         pi_values += [0] * (n - len(pi_values))
         self.public_input_poly = self._poly(pi_values, Basis.LAGRANGE)
 
-        a_1, b_1, c_1 = self.round_1()
+        from ..utils.metrics import get_metrics
+
+        m = get_metrics()
+        with m.span("prover.round_1"):
+            a_1, b_1, c_1 = self.round_1()
         ch.beta, ch.gamma = transcript.round_1(a_1, b_1, c_1)
 
-        z_1 = self.round_2()
+        with m.span("prover.round_2"):
+            z_1 = self.round_2()
         ch.alpha = transcript.round_2(z_1)
 
-        t_lo_1, t_mid_1, t_hi_1 = self.round_3()
+        with m.span("prover.round_3"):
+            t_lo_1, t_mid_1, t_hi_1 = self.round_3()
         ch.zeta = transcript.round_3(t_lo_1, t_mid_1, t_hi_1)
 
-        evals = self.round_4()
+        with m.span("prover.round_4"):
+            evals = self.round_4()
         ch.nu = transcript.round_4(*evals)
 
-        w_zeta_1, w_zeta_omega_1 = self.round_5()
+        with m.span("prover.round_5"):
+            w_zeta_1, w_zeta_omega_1 = self.round_5()
         ch.mu = transcript.round_5(w_zeta_1, w_zeta_omega_1)
 
         return Proof(
@@ -170,7 +178,10 @@ class Prover:
             a, b, c, s1, s2, s3, roots, beta, gamma, K1, K2
         )
         # sanity: full cycle returns to 1 (prover.rs:319)
-        assert z_values[-1] == 1, "grand product does not close"
+        from ..config import get_config
+
+        if get_config().debug_asserts:
+            assert z_values[-1] == 1, "grand product does not close"
         z_values = z_values[:-1]
 
         b7, b8, b9 = self.blinding[6:9]
@@ -309,7 +320,12 @@ class Prover:
         ) * z_h_zeta
 
         r = r1 + r2 * alpha + r3 * (alpha * alpha % Q) - r4
-        assert r.eval(zeta) == 0, "linearization poly must vanish at zeta (prover.rs:615)"
+        from ..config import get_config
+
+        if get_config().debug_asserts:
+            assert r.eval(zeta) == 0, (
+                "linearization poly must vanish at zeta (prover.rs:615)"
+            )
 
         nu2 = nu * nu % Q
         nu3 = nu2 * nu % Q

@@ -23,9 +23,10 @@ from ..curves.g2 import G2
 from ..curves import msm_host
 from .poly import Basis, Poly
 
-_CACHE_DIR = os.environ.get(
-    "BPT_SRS_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "baby_plonk_tpu")
-)
+def _cache_dir() -> str:
+    from ..config import get_config
+
+    return get_config().srs_cache_dir
 
 
 class Setup:
@@ -64,7 +65,7 @@ class Setup:
         key = None
         if cache:
             key = hashlib.sha256(f"srs-v1-{powers}-{tau}".encode()).hexdigest()[:24]
-            path = os.path.join(_CACHE_DIR, f"{key}.pkl")
+            path = os.path.join(_cache_dir(), f"{key}.pkl")
             if os.path.exists(path):
                 with open(path, "rb") as f:
                     xs, x2 = pickle.load(f)
@@ -83,8 +84,8 @@ class Setup:
         x_2 = G2.generator() * tau
         setup = Setup(pows, x_2)
         if cache and key is not None:
-            os.makedirs(_CACHE_DIR, exist_ok=True)
-            path = os.path.join(_CACHE_DIR, f"{key}.pkl")
+            os.makedirs(_cache_dir(), exist_ok=True)
+            path = os.path.join(_cache_dir(), f"{key}.pkl")
             xs = [(p.x, p.y, p.z) for p in pows]
             x2s = [(x_2.x.c0, x_2.x.c1), (x_2.y.c0, x_2.y.c1), (x_2.z.c0, x_2.z.c1)]
             tmp = path + ".tmp"

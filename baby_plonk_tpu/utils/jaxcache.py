@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+On this hardware a compile round-trips a remote compile service (40-90s
+per kernel shape); caching executables on disk makes every run after the
+first start in seconds. Safe no-op if the backend doesn't support it.
+"""
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    _enabled = True
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "BPT_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "baby_plonk_tpu", "xla"),
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

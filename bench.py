@@ -28,6 +28,9 @@ def log(*a):
 
 
 def main():
+    from baby_plonk_tpu.utils import jaxcache
+
+    jaxcache.enable()
     import jax
     import jax.numpy as jnp
 
@@ -38,6 +41,23 @@ def main():
     from baby_plonk_tpu.ops.ntt import FR_SPEC
 
     log(f"devices: {jax.devices()}")
+
+    # block_until_ready does not reliably wait on the tunneled backend;
+    # force a tiny host fetch to synchronize, and calibrate its latency.
+    def sync(x):
+        if isinstance(x, (tuple, list)):
+            x = x[0]
+        np.asarray(x[(slice(0, 1),) * x.ndim])
+
+    trivial = jax.jit(lambda v: v + 1)
+    t = jnp.zeros((8,), jnp.uint32)
+    sync(trivial(t))
+    lat = 1e30
+    for _ in range(5):
+        t0 = time.time()
+        sync(trivial(t))
+        lat = min(lat, time.time() - t0)
+    log(f"sync latency: {lat*1e3:.1f} ms")
 
     msm_n = 1 << int(os.environ.get("BPT_BENCH_MSM_LOG2", "14"))
     ntt_n = 1 << int(os.environ.get("BPT_BENCH_NTT_LOG2", "16"))
@@ -52,14 +72,15 @@ def main():
     log(f"pack {ntt_n}: {time.time()-t0:.2f}s")
     t0 = time.time()
     out = ntt_ops.ntt_device(a)
-    out.block_until_ready()
+    sync(out)
     log(f"ntt compile+run: {time.time()-t0:.2f}s")
     iters = 5
-    t0 = time.time()
+    ntt_dt = 1e30
     for _ in range(iters):
+        t0 = time.time()
         out = ntt_ops.ntt_device(out)
-    out.block_until_ready()
-    ntt_dt = (time.time() - t0) / iters
+        sync(out)
+        ntt_dt = min(ntt_dt, max(time.time() - t0 - lat, 1e-9))
     ntt_rate = ntt_n / ntt_dt
     log(f"NTT n=2^{ntt_n.bit_length()-1}: {ntt_dt*1e3:.1f} ms -> {ntt_rate:.3e} coeffs/s")
 
@@ -77,15 +98,15 @@ def main():
     sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
     t0 = time.time()
     res = msm_ops._msm_kernel(px, py, pz, sc)
-    jax.block_until_ready(res)
+    sync(res)
     log(f"msm compile+run: {time.time()-t0:.2f}s")
     iters = int(os.environ.get("BPT_BENCH_ITERS", "3"))
     msm_dt = 1e30
     for _ in range(iters):
         t0 = time.time()
         res = msm_ops._msm_kernel(px, py, pz, sc)
-        jax.block_until_ready(res)
-        msm_dt = min(msm_dt, time.time() - t0)
+        sync(res)
+        msm_dt = min(msm_dt, max(time.time() - t0 - lat, 1e-9))
     msm_rate = msm_n / msm_dt
     log(f"MSM n=2^{msm_n.bit_length()-1}: {msm_dt*1e3:.1f} ms -> {msm_rate:.3e} points/s")
 

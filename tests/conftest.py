@@ -26,3 +26,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Compiled executables accumulate across the suite and can exhaust
+    memory (XLA CPU compile aborts); drop them after each test module."""
+    yield
+    import jax
+
+    jax.clear_caches()
