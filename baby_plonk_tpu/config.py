@@ -36,6 +36,12 @@ class Config:
             else None
         )
     )
+    #: MSM algorithm: "bitserial" (default; empirically fastest on this
+    #: chip, see PERFORMANCE.md) or "pippenger" (sorted-bucket method,
+    #: ops/msm_pippenger.py)
+    msm_algorithm: str = field(
+        default_factory=lambda: os.environ.get("BPT_MSM", "bitserial")
+    )
     #: coset constants (prover.rs:99-100; verifier.rs:76-77)
     k1: int = 2
     k2: int = 3

@@ -42,6 +42,10 @@ class HostEngine:
         assert p.basis == hostpoly.Basis.LAGRANGE
         return hostpoly.Poly(hostpoly.i_ntt(p.values), hostpoly.Basis.MONOMIAL)
 
+    def intt_polys(self, ps):
+        """Batched variant (one device round-trip on the TPU engine)."""
+        return [self.intt_poly(p) for p in ps]
+
     def commit(self, setup, polynomial):
         return setup.commit(polynomial)
 

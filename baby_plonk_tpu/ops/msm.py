@@ -52,7 +52,15 @@ def _msm_kernel(px, py, pz, scalars):
 
 
 def msm_device_arrays(points_mont, scalars_raw):
-    """Device MSM over pre-packed arrays. Pads n to a power of two."""
+    """Device MSM over pre-packed arrays. Pads n to a power of two.
+
+    Algorithm selected by config (bitserial | pippenger)."""
+    from ..config import get_config
+
+    if get_config().msm_algorithm == "pippenger":
+        from . import msm_pippenger
+
+        return msm_pippenger.msm_pippenger(points_mont, scalars_raw)
     px, py, pz = points_mont
     n = px.shape[-1]
     m = 1

@@ -103,6 +103,31 @@ class TpuEngine:
         # host Poly input (e.g. preprocessed selectors): pack then convert
         return DPoly.from_ints(p.values, Basis.LAGRANGE).to_monomial()
 
+    def intt_polys(self, ps):
+        """One batched (16, k, n) inverse NTT for k same-length polys."""
+        from ..protocol.poly import Basis
+        from . import ntt as ntt_mod
+        from .dpoly import DPoly
+
+        if not ps:
+            return []
+        lens = set()
+        cols = []
+        for p in ps:
+            if isinstance(p, DPoly):
+                assert p.basis == Basis.LAGRANGE
+                cols.append(p.vals)
+                lens.add(p.vals.shape[-1])
+            else:
+                assert p.basis == Basis.LAGRANGE
+                cols.append(jnp.asarray(FR_SPEC.pack_mont(p.values)))
+                lens.add(len(p.values))
+        if len(lens) != 1:
+            return [self.intt_poly(p) for p in ps]
+        stacked = jnp.stack(cols, axis=1)  # (16, k, n)
+        out = ntt_mod.ntt_device(stacked, inverse=True)
+        return [DPoly(out[:, i], Basis.MONOMIAL) for i in range(len(ps))]
+
     # -- KZG commit -----------------------------------------------------------
 
     def commit(self, setup, polynomial):

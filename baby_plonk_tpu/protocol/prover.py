@@ -198,14 +198,11 @@ class Prover:
         beta, gamma, alpha = ch.beta, ch.gamma, ch.alpha
 
         pk = self.pk
-        s1_c = self._intt(pk.s1)
-        s2_c = self._intt(pk.s2)
-        s3_c = self._intt(pk.s3)
-        ql_c = self._intt(pk.ql)
-        qr_c = self._intt(pk.qr)
-        qm_c = self._intt(pk.qm)
-        qo_c = self._intt(pk.qo)
-        qc_c = self._intt(pk.qc)
+        # one batched iNTT for all 8 preprocessed columns (the reference
+        # converts them one by one, prover.rs:374-397)
+        s1_c, s2_c, s3_c, ql_c, qr_c, qm_c, qo_c, qc_c = self.engine.intt_polys(
+            [pk.s1, pk.s2, pk.s3, pk.ql, pk.qr, pk.qm, pk.qo, pk.qc]
+        )
         self.s1_coeff, self.s2_coeff, self.s3_coeff = s1_c, s2_c, s3_c
         self.ql_coeff, self.qr_coeff, self.qm_coeff = ql_c, qr_c, qm_c
         self.qo_coeff, self.qc_coeff = qo_c, qc_c
