@@ -47,6 +47,20 @@ def _stackmul(lhs, rhs):
     return [out[:, i] for i in range(len(lhs))]
 
 
+def _stackmul_wide(lhs, rhs):
+    """Batched full products WITHOUT reduction (lazy-reduction inputs)."""
+    a = jnp.stack(lhs, axis=1)
+    b = jnp.stack(rhs, axis=1)
+    out = limbs.mul_wide_nored(FQ_SPEC, a, b)
+    return [out[:, i] for i in range(len(lhs))]
+
+
+def _stackreduce(wides):
+    """One batched Montgomery reduction for a list of wide values."""
+    out = limbs.mont_reduce_wide(FQ_SPEC, jnp.stack(wides, axis=1))
+    return [out[:, i] for i in range(len(wides))]
+
+
 def _b3(ref):
     return limbs.const_limbs(B3_MONT, ref.shape)
 
@@ -66,13 +80,19 @@ def padd(p1, p2):
     bz, y3t = _stackmul([_b3(t2), _b3(t5)], [t2, t5])  # b3 Z1Z2, b3 t5
     z3t = _add(t1, bz)
     t1m = _sub(t1, bz)
-    p0, p1_, p2_, p3, p4, p5 = _stackmul(
+    # lazy reduction: each output coordinate is a sum/difference of two
+    # full products sharing ONE Montgomery reduction (3 instead of 6)
+    w0, w1, w2, w3, w4, w5 = _stackmul_wide(
         [t3, t4, y3t, t1m, z3t, t0_3],
         [t1m, y3t, t0_3, z3t, t4, t3],
     )
-    X3 = _sub(p0, p1_)
-    Y3 = _add(p2_, p3)
-    Z3 = _add(p4, p5)
+    X3, Y3, Z3 = _stackreduce(
+        [
+            limbs.sub_wide(FQ_SPEC, w0, w1),
+            limbs.add_wide(FQ_SPEC, w2, w3),
+            limbs.add_wide(FQ_SPEC, w4, w5),
+        ]
+    )
     return (X3, Y3, Z3)
 
 
@@ -87,12 +107,14 @@ def pdouble(p):
     y3p = _add(t0, t2)
     t2_3 = _add(_add(t2, t2), t2)
     t0m = _sub(t0, t2_3)
-    x3a, z3n, y3n, x3b = _stackmul(
+    wx3a, wz3n, wy3n, wx3b = _stackmul_wide(
         [t2, t1, t0m, t0m], [z3, z3, y3p, xy]
     )
-    Y3 = _add(x3a, y3n)
+    Y3, Z3, x3b = _stackreduce(
+        [limbs.add_wide(FQ_SPEC, wx3a, wy3n), wz3n, wx3b]
+    )
     X3 = _add(x3b, x3b)
-    return (X3, Y3, z3n)
+    return (X3, Y3, Z3)
 
 
 def pselect(cond, p_true, p_false):

@@ -372,6 +372,61 @@ def mont_sqr(spec: FieldSpec, a):
     return mont_mul(spec, a, a)
 
 
+# -- lazy (wide-domain) arithmetic --------------------------------------------
+#
+# Sums/differences of full products can share ONE Montgomery reduction:
+#   reduce(a*b ± c*d) instead of mont_mul(a,b) ± mont_mul(c,d)
+# Wide values are 2L-limb arrays < 2*N*R; the reduction below tolerates
+# inputs < 2*N*R (output needs at most two conditional subtractions).
+
+
+def mul_wide_nored(spec: FieldSpec, a, b):
+    """Full 2L-limb product of canonical L-limb operands (no reduction)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    return _mul_wide(a, b, 2 * spec.L)
+
+
+def add_wide(spec: FieldSpec, x, y):
+    """Sum of wide values (each < N*R, so the sum stays < 2*N*R < 2^(32L))."""
+    return _carry_pass(x + y)
+
+
+def sub_wide(spec: FieldSpec, x, y):
+    """x - y + N*R for wide x < N*R, y < N*R: always nonnegative, < 2*N*R.
+    Adding the multiple N*R of the modulus keeps the residue class of
+    x - y (mod n) unchanged through Montgomery reduction."""
+    L = spec.L
+    nr = jnp.concatenate(
+        [jnp.zeros_like(x[:L]), _bc(spec.n_limbs, x[:L])], axis=0
+    )  # N * 2^(16L) as 2L limbs
+    t = _carry_pass(x + nr)
+    d, _ = _borrow_scan(t, jnp.broadcast_to(y, t.shape))
+    return d
+
+
+def mont_reduce_wide(spec: FieldSpec, t):
+    """Montgomery reduction of a wide value t < 2*N*R -> canonical t*R^-1.
+
+    Same full-product reduction as mont_mul's tail, but u < 3N, so up to
+    two conditional subtractions."""
+    L = spec.L
+    nprime = _bc(spec.nprime_limbs, t[:L])
+    m = _mul_wide(t[:L], nprime, L)
+    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & MASK16], axis=0)
+    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L)
+    s = t + mn
+    s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
+    u = _carry_pass(s)
+    hi = u[L:]  # (L+1, ...); value < 3n
+    n_ext = jnp.concatenate(
+        [_bc(spec.n_limbs, hi[:L]), jnp.zeros((1,) + hi.shape[1:], dtype=U32)], axis=0
+    )
+    for _ in range(2):
+        red, borrow = _borrow_scan(hi, n_ext)
+        hi = jnp.where(borrow, hi, red)
+    return hi[:L]
+
+
 def from_mont(spec: FieldSpec, a):
     """Montgomery form -> canonical residue (multiply by 1)."""
     one = jnp.concatenate(

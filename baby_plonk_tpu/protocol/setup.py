@@ -40,16 +40,54 @@ class Setup:
         return self.n_powers
 
     @staticmethod
-    def generate_srs_device(powers: int, tau: int) -> "Setup":
+    def generate_srs_device(powers: int, tau: int, cache: bool = True) -> "Setup":
         """SRS generated ON DEVICE: one batched fixed-base kernel instead of
         the reference's serial scalar-mul chain (setup.rs:12-31). The G1
         powers stay device-resident (no host point list at 2^20 scale);
-        host-side access materializes lazily via ``materialize_host()``."""
+        host-side access materializes lazily via ``materialize_host()``.
+        Device arrays are cached to disk as .npz (SURVEY.md §5
+        checkpoint/resume: the reference regenerates per run)."""
+        import numpy as _np
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
         from ..ops import srs as dsrs
 
         tau = tau % fr.Q
+        path = None
+        if cache:
+            key = hashlib.sha256(f"srs-dev-v1-{powers}-{tau}".encode()).hexdigest()[:24]
+            path = os.path.join(_cache_dir(), f"{key}.npz")
+            if os.path.exists(path):
+                data = _np.load(path)
+                xb = data["x2"].tobytes()
+                c = [int.from_bytes(xb[i * 48 : (i + 1) * 48], "little") for i in range(6)]
+                setup = Setup(
+                    None,
+                    G2(Fp2(c[0], c[1]), Fp2(c[2], c[3]), Fp2(c[4], c[5])),
+                    n_powers=powers,
+                )
+                setup._tpu_cache = tuple(
+                    _jnp.asarray(data[k]) for k in ("px", "py", "pz")
+                )
+                return setup
         setup = Setup(None, G2.generator() * tau, n_powers=powers)
         setup._tpu_cache = dsrs.powers_of_tau_device(powers, tau)
+        if cache and path is not None:
+            os.makedirs(_cache_dir(), exist_ok=True)
+            px, py, pz = (_np.asarray(_jax.device_get(c)) for c in setup._tpu_cache)
+            x2 = setup.x_2
+            x2arr = _np.frombuffer(
+                b"".join(
+                    int(v).to_bytes(48, "little")
+                    for v in (x2.x.c0, x2.x.c1, x2.y.c0, x2.y.c1, x2.z.c0, x2.z.c1)
+                ),
+                dtype=_np.uint8,
+            )
+            tmp = path + ".tmp.npz"
+            _np.savez(tmp, px=px, py=py, pz=pz, x2=x2arr)
+            os.replace(tmp, path)
         return setup
 
     def materialize_host(self) -> None:
