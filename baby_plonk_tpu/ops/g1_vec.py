@@ -6,12 +6,14 @@ reference uses element-at-a-time (lib/bls12_381/src/g1.rs:638-752),
 chosen here because they are exception-free and therefore ideal for SIMD:
 the identity (0:1:0) and doubling cases need no branches.
 
-A point batch is a tuple (X, Y, Z) of (24, ...batch) uint32 limb arrays
+A point batch is a tuple (X, Y, Z) of (FQ.L, ...batch) uint32 limb arrays
 in Montgomery form (homogeneous projective: x = X/Z, y = Y/Z), limb axis
-leading per ops.limbs. To keep compiled graphs small and the VPU busy,
-the 12 field multiplies of an addition are issued as three *stacked*
-Montgomery multiplies (the independent products of each dependency stage
-are batched along a fresh axis).
+leading per ops.limbs. The limb radix is selectable (BPT_FQ_RADIX=16|12;
+16 is the measured-faster default, see PERFORMANCE.md) — the host
+boundary always uses the radix-16 codecs with a jitted repack at
+entry/exit when the compute radix differs. The 12 field multiplies of an
+addition are issued as three *stacked* Montgomery multiplies per
+dependency stage, with lazy wide-domain reduction in the final stage.
 """
 from __future__ import annotations
 
@@ -22,18 +24,55 @@ from ..fields import fq
 from . import limbs
 from .limbs import FieldSpec
 
+#: host-boundary codec spec (radix 16, fast bytes/native paths)
 FQ_SPEC = FieldSpec(fq.P, 24)
+#: on-device compute spec. Radix 16 measured FASTER than the radix-12
+#: no-split variant on this chip (1.33 s vs 1.96 s MSM at 2^14: the taller
+#: limb arrays + extra carry round outweigh the per-product op savings) —
+#: both are supported, selectable via BPT_FQ_RADIX.
+import os as _os
 
-#: 3*b = 12 for y^2 = x^3 + 4, Montgomery form, shape (24, 1).
-B3_MONT = FQ_SPEC.pack_mont([12])
+_FQ_RADIX = int(_os.environ.get("BPT_FQ_RADIX", "16"))
+FQ = FQ_SPEC if _FQ_RADIX == 16 else FieldSpec(fq.P, 32, radix=12)
+
+#: 3*b = 12 for y^2 = x^3 + 4, Montgomery form, shape (L, 1).
+B3_MONT = FQ.pack_mont([12])
+
+
+def repack_16to12(a16):
+    """(24, ...) radix-16 limbs -> (32, ...) radix-12, same value."""
+    import jax
+
+    a = jnp.concatenate([a16, jnp.zeros_like(a16[:1])], axis=0)  # (25, ...)
+    rows = []
+    for j in range(32):
+        bit = 12 * j
+        w0 = bit // 16
+        o = bit % 16
+        comb = a[w0] | (a[w0 + 1] << 16)  # exact in uint32
+        rows.append((comb >> o) & np.uint32(0xFFF))
+    return jnp.stack(rows, axis=0)
+
+
+def repack_12to16(a12):
+    """(32, ...) radix-12 limbs -> (24, ...) radix-16, same value."""
+    a = jnp.concatenate([a12, jnp.zeros_like(a12[:1])], axis=0)  # (33, ...)
+    rows = []
+    for w in range(24):
+        bit = 16 * w
+        j0 = bit // 12
+        o = bit - 12 * j0  # 0, 4 or 8
+        comb = (a[j0] >> o) | (a[j0 + 1] << (12 - o))
+        rows.append(comb & np.uint32(0xFFFF))
+    return jnp.stack(rows, axis=0)
 
 
 def _add(a, b):
-    return limbs.add_mod(FQ_SPEC, a, b)
+    return limbs.add_mod(FQ, a, b)
 
 
 def _sub(a, b):
-    return limbs.sub_mod(FQ_SPEC, a, b)
+    return limbs.sub_mod(FQ, a, b)
 
 
 def _stackmul(lhs, rhs):
@@ -43,7 +82,7 @@ def _stackmul(lhs, rhs):
     covers the whole dependency stage."""
     a = jnp.stack(lhs, axis=1)
     b = jnp.stack(rhs, axis=1)
-    out = limbs.mont_mul(FQ_SPEC, a, b)
+    out = limbs.mont_mul(FQ, a, b)
     return [out[:, i] for i in range(len(lhs))]
 
 
@@ -51,13 +90,13 @@ def _stackmul_wide(lhs, rhs):
     """Batched full products WITHOUT reduction (lazy-reduction inputs)."""
     a = jnp.stack(lhs, axis=1)
     b = jnp.stack(rhs, axis=1)
-    out = limbs.mul_wide_nored(FQ_SPEC, a, b)
+    out = limbs.mul_wide_nored(FQ, a, b)
     return [out[:, i] for i in range(len(lhs))]
 
 
 def _stackreduce(wides):
     """One batched Montgomery reduction for a list of wide values."""
-    out = limbs.mont_reduce_wide(FQ_SPEC, jnp.stack(wides, axis=1))
+    out = limbs.mont_reduce_wide(FQ, jnp.stack(wides, axis=1))
     return [out[:, i] for i in range(len(wides))]
 
 
@@ -88,9 +127,9 @@ def padd(p1, p2):
     )
     X3, Y3, Z3 = _stackreduce(
         [
-            limbs.sub_wide(FQ_SPEC, w0, w1),
-            limbs.add_wide(FQ_SPEC, w2, w3),
-            limbs.add_wide(FQ_SPEC, w4, w5),
+            limbs.sub_wide(FQ, w0, w1),
+            limbs.add_wide(FQ, w2, w3),
+            limbs.add_wide(FQ, w4, w5),
         ]
     )
     return (X3, Y3, Z3)
@@ -111,7 +150,7 @@ def pdouble(p):
         [t2, t1, t0m, t0m], [z3, z3, y3p, xy]
     )
     Y3, Z3, x3b = _stackreduce(
-        [limbs.add_wide(FQ_SPEC, wx3a, wy3n), wz3n, wx3b]
+        [limbs.add_wide(FQ, wx3a, wy3n), wz3n, wx3b]
     )
     X3 = _add(x3b, x3b)
     return (X3, Y3, Z3)
@@ -123,9 +162,9 @@ def pselect(cond, p_true, p_false):
 
 
 def pidentity(shape_suffix):
-    """Identity batch (0 : 1 : 0) in Montgomery form, coords (24, *shape_suffix)."""
-    zero = jnp.zeros((24,) + shape_suffix, dtype=jnp.uint32)
-    one = limbs.const_limbs(FQ_SPEC.one_mont, (24,) + shape_suffix)
+    """Identity batch (0 : 1 : 0) in Montgomery form, coords (FQ.L, *shape_suffix)."""
+    zero = jnp.zeros((FQ.L,) + shape_suffix, dtype=jnp.uint32)
+    one = limbs.const_limbs(FQ.one_mont, (FQ.L,) + shape_suffix)
     return (zero, one, zero)
 
 
@@ -148,10 +187,13 @@ def points_to_device(points) -> tuple:
             xs.append(aff[0])
             ys.append(aff[1])
             zs.append(1)
+    import jax
+
+    conv = (lambda a: a) if FQ.radix == 16 else jax.jit(repack_16to12)
     return (
-        jnp.asarray(FQ_SPEC.pack_mont(xs)),
-        jnp.asarray(FQ_SPEC.pack_mont(ys)),
-        jnp.asarray(FQ_SPEC.pack_mont(zs)),
+        conv(jnp.asarray(FQ_SPEC.pack_mont(xs))),
+        conv(jnp.asarray(FQ_SPEC.pack_mont(ys))),
+        conv(jnp.asarray(FQ_SPEC.pack_mont(zs))),
     )
 
 
@@ -159,7 +201,12 @@ def point_from_device(p) -> "object":
     """Single point (X, Y, Z) limb arrays (24,) -> host G1 (exact)."""
     from ..curves.g1 import G1
 
-    X, Y, Z = (FQ_SPEC.unpack_mont(np.asarray(c).reshape(24, 1))[0] for c in p)
+    import jax
+
+    conv = (lambda a: a) if FQ.radix == 16 else jax.jit(repack_12to16)
+    X, Y, Z = (
+        FQ_SPEC.unpack_mont(np.asarray(conv(c.reshape(FQ.L, 1))))[0] for c in p
+    )
     if Z == 0:
         return G1.identity()
     zinv = fq.inv(Z)

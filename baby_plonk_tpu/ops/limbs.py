@@ -41,9 +41,10 @@ MASK16 = np.uint32(0xFFFF)
 # -----------------------------------------------------------------------------
 
 
-def int_to_limbs(x: int, L: int) -> np.ndarray:
-    """Python int -> (L,) uint32 little-endian 16-bit limbs (host-side)."""
-    return np.array([(x >> (16 * i)) & 0xFFFF for i in range(L)], dtype=np.uint32)
+def int_to_limbs(x: int, L: int, radix: int = 16) -> np.ndarray:
+    """Python int -> (L,) uint32 little-endian limbs of ``radix`` bits."""
+    m = (1 << radix) - 1
+    return np.array([(x >> (radix * i)) & m for i in range(L)], dtype=np.uint32)
 
 
 def limbs_to_int(a) -> int:
@@ -83,20 +84,24 @@ class FieldSpec:
     stay within L limbs.
     """
 
-    def __init__(self, modulus: int, L: int):
-        assert modulus < (1 << (16 * L - 1)), "top limb must have headroom"
+    def __init__(self, modulus: int, L: int, radix: int = 16):
+        assert radix in (12, 16)
+        assert modulus < (1 << (radix * L - 1)), "top limb must have headroom"
         self.modulus = modulus
         self.L = L
-        self.R = (1 << (16 * L)) % modulus
+        self.radix = radix
+        self.mask = np.uint32((1 << radix) - 1)
+        self.R = (1 << (radix * L)) % modulus
         self.R2 = self.R * self.R % modulus
-        self.NPRIME = (-pow(modulus, -1, 1 << (16 * L))) % (1 << (16 * L))
+        self.NPRIME = (-pow(modulus, -1, 1 << (radix * L))) % (1 << (radix * L))
         # device-side constants, shape (L, 1) so they broadcast over batches
-        self.n_limbs = int_to_limbs(modulus, L).reshape(L, 1)
-        self.nprime_limbs = int_to_limbs(self.NPRIME, L).reshape(L, 1)
-        self.r2_limbs = int_to_limbs(self.R2, L).reshape(L, 1)
-        self.one_mont = int_to_limbs(self.R % modulus, L).reshape(L, 1)
-        # native-codec constants (64-bit limb views; R = 2^(64*(L/4)) = 2^(16L))
-        nl = L // 4
+        self.n_limbs = int_to_limbs(modulus, L, radix).reshape(L, 1)
+        self.nprime_limbs = int_to_limbs(self.NPRIME, L, radix).reshape(L, 1)
+        self.r2_limbs = int_to_limbs(self.R2, L, radix).reshape(L, 1)
+        self.one_mont = int_to_limbs(self.R % modulus, L, radix).reshape(L, 1)
+        # native-codec constants (64-bit limb views); for radix 12 the
+        # bit-width is radix*L, still a multiple of 64 for our specs
+        nl = (radix * L) // 64
         self._mod_u64 = np.array(
             [(modulus >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(nl)],
             dtype=np.uint64,
@@ -122,23 +127,34 @@ class FieldSpec:
         available; pure-Python fallback otherwise."""
         from .. import native
 
-        if native.available() and len(xs) >= 8:
+        if self.radix == 16 and native.available() and len(xs) >= 8:
             u64 = self._ints_to_u64(xs)
             scaled = native.mont_mul_batch(u64, self._r2_u64, self._mod_u64, self._n0inv64)
             return self._u64_to_limbs(scaled)
+        if self.radix != 16:
+            return np.stack(
+                [int_to_limbs(x * self.R % self.modulus, self.L, self.radix) for x in xs],
+                axis=1,
+            ) if xs else np.zeros((self.L, 0), dtype=np.uint32)
         return ints_to_array([x * self.R % self.modulus for x in xs], self.L)
 
     def unpack_mont(self, a) -> list[int]:
         from .. import native
 
         a = np.asarray(a)
-        if native.available() and a.shape[-1] >= 8:
+        if self.radix == 16 and native.available() and a.shape[-1] >= 8:
             u64 = self._limbs_to_u64(a)
-            one = np.zeros(self.L // 4, dtype=np.uint64)
+            one = np.zeros((16 * self.L) // 64, dtype=np.uint64)
             one[0] = 1
             canon = native.mont_mul_batch(u64, one, self._mod_u64, self._n0inv64)
             return self._u64_to_ints(canon)
         rinv = pow(self.R, -1, self.modulus)
+        if self.radix != 16:
+            vals = [
+                sum(int(a[j, i]) << (self.radix * j) for j in range(self.L))
+                for i in range(a.shape[1])
+            ]
+            return [v * rinv % self.modulus for v in vals]
         return [v * rinv % self.modulus for v in array_to_ints(a)]
 
     # -- native-codec helpers (64-bit limb views) ------------------------------
@@ -168,6 +184,10 @@ class FieldSpec:
 
     def pack_raw(self, xs) -> np.ndarray:
         """list[int] -> (L, n) limb array, NO Montgomery scaling (e.g. MSM scalars)."""
+        if self.radix != 16:
+            return np.stack(
+                [int_to_limbs(x % self.modulus, self.L, self.radix) for x in xs], axis=1
+            )
         return ints_to_array([x % self.modulus for x in xs], self.L)
 
 
@@ -201,61 +221,67 @@ def _ks_prefix_carry(g, p):
     return g
 
 
-def _carry_pass(t, mask_top: bool = False):
-    """Normalize limbs to 16 bits over axis 0.
+def _carry_pass(t, mask_top: bool = False, radix: int = 16):
+    """Normalize limbs to ``radix`` bits over axis 0.
 
     Precondition: every limb < 2^31 (headroom for one add). Output limbs
-    are < 2^16; the top limb keeps any residual carry unless ``mask_top``.
-    Two rounds: a value round (carries up to 2^15) then a binary-carry
-    Kogge–Stone round.
+    are < 2^radix; the top limb keeps any residual carry unless
+    ``mask_top``. Value rounds (enough that remaining carries are binary)
+    then a Kogge–Stone binary-carry round.
     """
-    # round 1: strip >16-bit parts, add one position up
-    s = (t & MASK16) + _shift_up(t >> 16)
-    # now limbs < 2^16 + 2^15; binary carries remain
-    g = (s >> 16).astype(jnp.bool_)
-    p = (s & MASK16) == MASK16
+    mask = np.uint32((1 << radix) - 1)
+    # value rounds: bound' = mask + (bound >> radix); stop when < 2*mask
+    s = t
+    bound = 1 << 31
+    while bound > 2 * int(mask) - 1:
+        s = (s & mask) + _shift_up(s >> radix)
+        bound = int(mask) + (bound >> radix)
+    g = (s >> radix).astype(jnp.bool_)
+    p = (s & mask) == mask
     G = _ks_prefix_carry(g, p)
     carry_in = _shift_up(G.astype(U32))
-    out = (s + carry_in) & MASK16
+    out = (s + carry_in) & mask
     if not mask_top:
-        # re-attach the top limb's carry-out (value may exceed 16 bits there)
+        # re-attach the top limb's carry-out (value may exceed radix bits)
         top = s[-1:] + carry_in[-1:]
         out = jnp.concatenate([out[:-1], top], axis=0)
     return out
 
 
-def _borrow_scan(a, b):
-    """Borrow-lookahead for a - b (limbwise, both <= 16-bit limbs).
+def _borrow_scan(a, b, radix: int = 16):
+    """Borrow-lookahead for a - b (limbwise, both canonical radix-bit limbs).
 
-    Returns (diff_limbs, borrow_out) where diff = a - b + borrow_out * 2^(16L).
+    Returns (diff_limbs, borrow_out) where diff = a - b + borrow_out * 2^(radix L).
     """
-    d = a + np.uint32(0x10000) - b  # in [1, 2^17); borrow-free partial diff
-    g = d < np.uint32(0x10000)  # generates a borrow
-    p = (d & MASK16) == 0  # propagates a borrow (d == 0x10000)
+    base = np.uint32(1 << radix)
+    mask = np.uint32((1 << radix) - 1)
+    d = a + base - b  # borrow-free partial diff
+    g = d < base  # generates a borrow
+    p = (d & mask) == 0  # propagates a borrow (d == base)
     G = _ks_prefix_carry(g, p)
     borrow_in = _shift_up(G.astype(U32))
-    out = (d - borrow_in) & MASK16
+    out = (d - borrow_in) & mask
     # positive-index slice: a negative scalar index lowers to dynamic_slice,
     # which the Mosaic (Pallas TPU) backend cannot lower
     L = G.shape[0]
     return out, jnp.squeeze(G[L - 1 : L], axis=0)
 
 
-def _geq(a, b):
-    """a >= b over little-endian 16-bit limbs. Returns bool (batch,)."""
-    _, borrow = _borrow_scan(a, b)
+def _geq(a, b, radix: int = 16):
+    """a >= b over little-endian limbs. Returns bool (batch,)."""
+    _, borrow = _borrow_scan(a, b, radix)
     return ~borrow
 
 
-def _sub_raw(a, b):
+def _sub_raw(a, b, radix: int = 16):
     """a - b assuming a >= b."""
-    out, _ = _borrow_scan(a, b)
+    out, _ = _borrow_scan(a, b, radix)
     return out
 
 
-def _add_raw(a, b):
-    """a + b with carries resolved (top limb may exceed 16 bits)."""
-    return _carry_pass(a + b)
+def _add_raw(a, b, radix: int = 16):
+    """a + b with carries resolved (top limb may exceed radix bits)."""
+    return _carry_pass(a + b, radix=radix)
 
 
 # -----------------------------------------------------------------------------
@@ -282,63 +308,75 @@ def _bc(spec_const, ref):
 def add_mod(spec: FieldSpec, a, b):
     """(a + b) mod n for canonical a, b."""
     a, b = jnp.broadcast_arrays(a, b)
-    s = _add_raw(a, b)  # top limb < 2^16 (modulus headroom)
+    s = _add_raw(a, b, spec.radix)  # top limb in range (modulus headroom)
     n = _bc(spec.n_limbs, s)
-    red, borrow = _borrow_scan(s, n)
+    red, borrow = _borrow_scan(s, n, spec.radix)
     return jnp.where(borrow, s, red)
 
 
 def sub_mod(spec: FieldSpec, a, b):
     """(a - b) mod n for canonical a, b."""
     a, b = jnp.broadcast_arrays(a, b)
-    d, borrow = _borrow_scan(a, b)
+    d, borrow = _borrow_scan(a, b, spec.radix)
     n = _bc(spec.n_limbs, d)
-    # on borrow, d holds a - b + 2^(16L); adding n and masking the top
-    # limb's carry-out subtracts the 2^(16L) again -> a - b + n
-    fixed = _carry_pass(d + n, mask_top=True)
+    # on borrow, d holds a - b + 2^(radix L); adding n and masking the top
+    # limb's carry-out subtracts the 2^(radix L) again -> a - b + n
+    fixed = _carry_pass(d + n, mask_top=True, radix=spec.radix)
     return jnp.where(borrow, fixed, d)
 
 
 def neg_mod(spec: FieldSpec, a):
     """(-a) mod n; maps 0 -> 0."""
     n = _bc(spec.n_limbs, a)
-    d = _sub_raw(n, a)
+    d = _sub_raw(n, a, spec.radix)
     return jnp.where(is_zero(a), jnp.zeros_like(a), d)
 
 
-def _mul_wide(a, b, out_limbs: int):
-    """Schoolbook product over 16-bit limbs, carry-normalized.
+def _slice_add(acc, start, p):
+    # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
+    # scatter, which Mosaic cannot lower and XLA updates by copy
+    stop = start + p.shape[0]
+    parts = []
+    if start > 0:
+        parts.append(acc[:start])
+    parts.append(acc[start:stop] + p)
+    if stop < acc.shape[0]:
+        parts.append(acc[stop:])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    a: (La, ...), b: (Lb, ...) -> (out_limbs, ...). Shifted
-    multiply-accumulate with lo/hi split keeps every intermediate in
-    uint32 (static-offset slice updates on the leading axis).
+
+def _mul_wide(a, b, out_limbs: int, radix: int = 16):
+    """Schoolbook product over radix-bit limbs, carry-normalized.
+
+    a: (La, ...), b: (Lb, ...) -> (out_limbs, ...). For radix <= 12 the
+    raw 32-bit products accumulate directly (column sums of <= 32 products
+    of 12-bit limbs stay < 2^29 — no lo/hi splitting, ~2.5x fewer lane ops
+    per product); radix 16 splits each product into lo/hi halves so sums
+    stay in uint32.
     """
     La = a.shape[0]
     Lb = b.shape[0]
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    if radix <= 12:
+        acc = jnp.zeros((out_limbs,) + shape, dtype=U32)
+        for i in range(La):
+            w = min(Lb, out_limbs - i)
+            if w <= 0:
+                break
+            p = a[i : i + 1] * b[:w]  # exact: 12x12 -> 24 bits
+            acc = _slice_add(acc, i, p)
+        return _carry_pass(acc, radix=radix)
     lo = jnp.zeros((out_limbs,) + shape, dtype=U32)
     hi = jnp.zeros((out_limbs,) + shape, dtype=U32)
-    def slice_add(acc, start, p):
-        # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
-        # scatter, which Mosaic cannot lower and XLA updates by copy
-        stop = start + p.shape[0]
-        parts = []
-        if start > 0:
-            parts.append(acc[:start])
-        parts.append(acc[start:stop] + p)
-        if stop < acc.shape[0]:
-            parts.append(acc[stop:])
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
     for i in range(La):
         p = a[i : i + 1] * b  # exact: 16x16 -> 32 bits
         w = min(Lb, out_limbs - i)
         if w <= 0:
             break
-        lo = slice_add(lo, i, p[:w] & MASK16)
+        lo = _slice_add(lo, i, p[:w] & MASK16)
         w2 = min(Lb, out_limbs - i - 1)
         if w2 > 0:
-            hi = slice_add(hi, i + 1, p[:w2] >> 16)
+            hi = _slice_add(hi, i + 1, p[:w2] >> 16)
     # each limb <= 2*max(La,Lb) * (2^16 - 1) < 2^22: one carry pass suffices
     return _carry_pass(lo + hi)
 
@@ -350,21 +388,22 @@ def mont_mul(spec: FieldSpec, a, b):
     t = a*b; m = (t mod R)*N' mod R; u = (t + m*n)/R; subtract n once.
     """
     L = spec.L
+    rx = spec.radix
     a, b = jnp.broadcast_arrays(a, b)
-    t = _mul_wide(a, b, 2 * L)  # (2L, ...); top limb < 2^16 since t < n^2
-    m = _mul_wide(t[:L], _bc(spec.nprime_limbs, t[:L]), L)
-    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & MASK16], axis=0)  # truncate mod R
-    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L)  # m*n < R*n < 2^(32L)
+    t = _mul_wide(a, b, 2 * L, rx)  # (2L, ...); top limb in range (t < n^2)
+    m = _mul_wide(t[:L], _bc(spec.nprime_limbs, t[:L]), L, rx)
+    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & spec.mask], axis=0)  # mod R
+    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L, rx)  # m*n < R*n
     # u = (t + m*n) / R; low L limbs of the sum are zero by construction.
     # Top limb of the sum may carry one extra bit -> append a zero limb.
     s = t + mn
     s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
-    u = _carry_pass(s)
+    u = _carry_pass(s, radix=rx)
     hi = u[L:]  # (L+1, ...); value < 2n
     n_ext = jnp.concatenate(
         [_bc(spec.n_limbs, hi[:L]), jnp.zeros((1,) + hi.shape[1:], dtype=U32)], axis=0
     )
-    red, borrow = _borrow_scan(hi, n_ext)
+    red, borrow = _borrow_scan(hi, n_ext, rx)
     return jnp.where(borrow, hi, red)[:L]
 
 
@@ -383,12 +422,12 @@ def mont_sqr(spec: FieldSpec, a):
 def mul_wide_nored(spec: FieldSpec, a, b):
     """Full 2L-limb product of canonical L-limb operands (no reduction)."""
     a, b = jnp.broadcast_arrays(a, b)
-    return _mul_wide(a, b, 2 * spec.L)
+    return _mul_wide(a, b, 2 * spec.L, spec.radix)
 
 
 def add_wide(spec: FieldSpec, x, y):
-    """Sum of wide values (each < N*R, so the sum stays < 2*N*R < 2^(32L))."""
-    return _carry_pass(x + y)
+    """Sum of wide values (each < N*R, so the sum stays < 2*N*R)."""
+    return _carry_pass(x + y, radix=spec.radix)
 
 
 def sub_wide(spec: FieldSpec, x, y):
@@ -398,9 +437,9 @@ def sub_wide(spec: FieldSpec, x, y):
     L = spec.L
     nr = jnp.concatenate(
         [jnp.zeros_like(x[:L]), _bc(spec.n_limbs, x[:L])], axis=0
-    )  # N * 2^(16L) as 2L limbs
-    t = _carry_pass(x + nr)
-    d, _ = _borrow_scan(t, jnp.broadcast_to(y, t.shape))
+    )  # N * R as 2L limbs
+    t = _carry_pass(x + nr, radix=spec.radix)
+    d, _ = _borrow_scan(t, jnp.broadcast_to(y, t.shape), spec.radix)
     return d
 
 
@@ -411,18 +450,18 @@ def mont_reduce_wide(spec: FieldSpec, t):
     two conditional subtractions."""
     L = spec.L
     nprime = _bc(spec.nprime_limbs, t[:L])
-    m = _mul_wide(t[:L], nprime, L)
-    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & MASK16], axis=0)
-    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L)
+    m = _mul_wide(t[:L], nprime, L, spec.radix)
+    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & spec.mask], axis=0)
+    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L, spec.radix)
     s = t + mn
     s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
-    u = _carry_pass(s)
+    u = _carry_pass(s, radix=spec.radix)
     hi = u[L:]  # (L+1, ...); value < 3n
     n_ext = jnp.concatenate(
         [_bc(spec.n_limbs, hi[:L]), jnp.zeros((1,) + hi.shape[1:], dtype=U32)], axis=0
     )
     for _ in range(2):
-        red, borrow = _borrow_scan(hi, n_ext)
+        red, borrow = _borrow_scan(hi, n_ext, spec.radix)
         hi = jnp.where(borrow, hi, red)
     return hi[:L]
 

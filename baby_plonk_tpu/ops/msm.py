@@ -35,7 +35,7 @@ def _msm_kernel(px, py, pz, scalars):
     # varying-manual-axes tag under shard_map (a constant-built carry
     # would not typecheck against the loop body's sharded output)
     zero = px & np.uint32(0)
-    one = zero + jnp.asarray(g1_vec.FQ_SPEC.one_mont)  # broadcast (24, 1)
+    one = zero + jnp.asarray(g1_vec.FQ.one_mont)  # broadcast (L, 1)
     acc = (zero, one, zero)
     base = (px, py, pz)
 

@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from . import g1_vec, limbs
-from .g1_vec import FQ_SPEC
+from .g1_vec import FQ, FQ_SPEC
 from .msm import FR_SPEC, BITS
 
 
@@ -66,7 +66,7 @@ def mont_mul_pallas(spec, a, b, tile: int = 2048):
 def _msm_tile_kernel(px_ref, py_ref, pz_ref, sc_ref, ox_ref, oy_ref, oz_ref, *, tile):
     base = (px_ref[...], py_ref[...], pz_ref[...])
     zero = base[0] & np.uint32(0)
-    one = zero + limbs.const_limbs(FQ_SPEC.one_mont, zero.shape)
+    one = zero + limbs.const_limbs(FQ.one_mont, zero.shape)
     acc = (zero, one, zero)
 
     # Static unroll over the 16 scalar limbs (Mosaic cannot lower dynamic
@@ -97,9 +97,10 @@ def _msm_tile_kernel(px_ref, py_ref, pz_ref, sc_ref, ox_ref, oy_ref, oz_ref, *, 
         m = half
     # outputs are (1, 24, 128) blocks (TPU tiling: last dim 128); the
     # single reduced point is broadcast across the lane axis
-    ox_ref[...] = jnp.broadcast_to(acc[0].reshape(1, 24, 1), (1, 24, 128))
-    oy_ref[...] = jnp.broadcast_to(acc[1].reshape(1, 24, 1), (1, 24, 128))
-    oz_ref[...] = jnp.broadcast_to(acc[2].reshape(1, 24, 1), (1, 24, 128))
+    L = FQ.L
+    ox_ref[...] = jnp.broadcast_to(acc[0].reshape(1, L, 1), (1, L, 128))
+    oy_ref[...] = jnp.broadcast_to(acc[1].reshape(1, L, 1), (1, L, 128))
+    oz_ref[...] = jnp.broadcast_to(acc[2].reshape(1, L, 1), (1, L, 128))
 
 
 def msm_pallas_partials(points_mont, scalars_raw, tile: int = 256):
@@ -111,20 +112,21 @@ def msm_pallas_partials(points_mont, scalars_raw, tile: int = 256):
     assert n % t == 0 and t & (t - 1) == 0
     ntiles = n // t
     kernel = functools.partial(_msm_tile_kernel, tile=t)
+    L = FQ.L
     outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((ntiles, 24, 128), jnp.uint32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ntiles, L, 128), jnp.uint32)] * 3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((24, t), lambda i: (0, i)),
-            pl.BlockSpec((24, t), lambda i: (0, i)),
-            pl.BlockSpec((24, t), lambda i: (0, i)),
+            pl.BlockSpec((L, t), lambda i: (0, i)),
+            pl.BlockSpec((L, t), lambda i: (0, i)),
+            pl.BlockSpec((L, t), lambda i: (0, i)),
             pl.BlockSpec((16, t), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 24, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 24, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 24, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
         ],
         interpret=_interpret(),
     )(px, py, pz, scalars_raw)
@@ -143,8 +145,8 @@ def _reduce_partials(partials):
     if m != n:
         pad = m - n
         # pad with identity points (0:1:0)
-        zero = jnp.zeros((24, pad), dtype=jnp.uint32)
-        one = zero + jnp.asarray(FQ_SPEC.one_mont)
+        zero = jnp.zeros((FQ.L, pad), dtype=jnp.uint32)
+        one = zero + jnp.asarray(FQ.one_mont)
         partials = (
             jnp.concatenate([partials[0], zero], axis=-1),
             jnp.concatenate([partials[1], one], axis=-1),

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..fields import fr
 from . import g1_vec, limbs
-from .g1_vec import FQ_SPEC
+from .g1_vec import FQ, FQ_SPEC
 from .msm import FR_SPEC, BITS
 
 
@@ -25,7 +25,7 @@ def _fixed_base_kernel(px, py, pz, scalars):
     """px/py/pz: (24, n) Montgomery base points (typically one point tiled);
     scalars: (16, n) raw limbs. Returns per-lane scalar multiples (24, n) x3."""
     zero = px & np.uint32(0)
-    one = zero + jnp.asarray(FQ_SPEC.one_mont)
+    one = zero + jnp.asarray(FQ.one_mont)
     acc = (zero, one, zero)
     base = (px, py, pz)
 
@@ -50,11 +50,12 @@ def powers_of_tau_device(powers: int, tau: int):
         scalars.append(cur)
         cur = cur * tau % fr.Q
     from ..curves.g1 import G1
+    from . import g1_vec
 
-    gx, gy = G1.generator().to_affine()
-    px = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gx])), (1, powers))
-    py = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gy])), (1, powers))
-    pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, powers))
+    base = g1_vec.points_to_device([G1.generator()])
+    px = jnp.tile(base[0], (1, powers))
+    py = jnp.tile(base[1], (1, powers))
+    pz = jnp.tile(base[2], (1, powers))
     sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
     return _fixed_base_kernel(px, py, pz, sc)
 
@@ -64,9 +65,12 @@ def device_points_to_host(p) -> list:
     from ..curves.g1 import G1
     from ..fields import fq
 
-    X = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[0])))
-    Y = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[1])))
-    Z = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(p[2])))
+    from . import g1_vec
+
+    conv = (lambda a: a) if g1_vec.FQ.radix == 16 else jax.jit(g1_vec.repack_12to16)
+    X = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(conv(p[0]))))
+    Y = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(conv(p[1]))))
+    Z = FQ_SPEC.unpack_mont(np.asarray(jax.device_get(conv(p[2]))))
     # batch-invert nonzero Zs (Montgomery's trick)
     idxs = [i for i, z in enumerate(Z) if z != 0]
     invs = fq_batch_inv([Z[i] for i in idxs])

@@ -52,12 +52,14 @@ class Setup:
         import jax as _jax
         import jax.numpy as _jnp
 
-        from ..ops import srs as dsrs
+        from ..ops import g1_vec, srs as dsrs
 
         tau = tau % fr.Q
         path = None
         if cache:
-            key = hashlib.sha256(f"srs-dev-v1-{powers}-{tau}".encode()).hexdigest()[:24]
+            key = hashlib.sha256(
+                f"srs-dev-v2-{powers}-{tau}-r{g1_vec.FQ.radix}".encode()
+            ).hexdigest()[:24]
             path = os.path.join(_cache_dir(), f"{key}.npz")
             if os.path.exists(path):
                 data = _np.load(path)

@@ -10,6 +10,8 @@ from baby_plonk_tpu.ops.limbs import FieldSpec
 
 FR = FieldSpec(fr.Q, 16)
 FQ = FieldSpec(fq.P, 24)
+FQ12 = FieldSpec(fq.P, 32, radix=12)  # radix-12 variant (no lo/hi product split)
+FR12 = FieldSpec(fr.Q, 22, radix=12)
 
 rng = random.Random(1234)
 
@@ -27,23 +29,31 @@ def test_pack_roundtrip(spec):
     assert spec.unpack_mont(m) == xs
 
 
-@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+def _unpack_raw(spec, a):
+    a = np.asarray(a)
+    return [
+        sum(int(a[j, i]) << (spec.radix * j) for j in range(spec.L))
+        for i in range(a.shape[1])
+    ]
+
+
+@pytest.mark.parametrize("spec", [FR, FQ, FQ12], ids=["fr", "fq", "fq12"])
 def test_add_sub_neg(spec):
     n = 64
     xs = _rand(spec, n - 3) + [0, 1, spec.modulus - 1]
     ys = _rand(spec, n - 3) + [spec.modulus - 1, 0, spec.modulus - 1]
-    a = limbs.ints_to_array(xs, spec.L)
-    b = limbs.ints_to_array(ys, spec.L)
-    got_add = limbs.array_to_ints(np.asarray(limbs.add_mod_jit(spec, a, b)))
-    got_sub = limbs.array_to_ints(np.asarray(limbs.sub_mod_jit(spec, a, b)))
-    got_neg = limbs.array_to_ints(np.asarray(limbs.neg_mod_jit(spec, a)))
+    a = spec.pack_raw(xs)
+    b = spec.pack_raw(ys)
+    got_add = _unpack_raw(spec, limbs.add_mod_jit(spec, a, b))
+    got_sub = _unpack_raw(spec, limbs.sub_mod_jit(spec, a, b))
+    got_neg = _unpack_raw(spec, limbs.neg_mod_jit(spec, a))
     M = spec.modulus
     assert got_add == [(x + y) % M for x, y in zip(xs, ys)]
     assert got_sub == [(x - y) % M for x, y in zip(xs, ys)]
     assert got_neg == [(-x) % M for x in xs]
 
 
-@pytest.mark.parametrize("spec", [FR, FQ], ids=["fr", "fq"])
+@pytest.mark.parametrize("spec", [FR, FQ, FQ12, FR12], ids=["fr", "fq", "fq12", "fr12"])
 def test_mont_mul(spec):
     n = 64
     xs = _rand(spec, n - 3) + [0, 1, spec.modulus - 1]
