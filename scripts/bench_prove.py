@@ -56,6 +56,9 @@ def main():
     proof = prover.prove(witness)
     prove_dt = time.time() - t0
     log(f"prove: {prove_dt:.2f}s")
+    from baby_plonk_tpu.utils.metrics import get_metrics
+
+    log(f"rounds: {get_metrics().report()}")
 
     t0 = time.time()
     ok = Verifier(setup, program, proof, engine=engine).verify(public)
