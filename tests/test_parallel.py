@@ -68,3 +68,19 @@ def test_prove_step_sharded(mesh):
         coeffs = hostpoly.i_ntt(cols_ints[i])
         want = mh.msm(srs, coeffs)
         assert got == want
+
+
+def test_grand_product_sharded(mesh):
+    from baby_plonk_tpu.ops.engine import HostEngine
+    from baby_plonk_tpu.parallel import dscan
+
+    n = 64
+    roots = fr.roots_of_unity(n)
+    mk = lambda: [rng.randrange(fr.Q) for _ in range(n)]
+    a, b, c, s1, s2, s3 = mk(), mk(), mk(), mk(), mk(), mk()
+    beta, gamma = rng.randrange(fr.Q), rng.randrange(fr.Q)
+    want = HostEngine().grand_product(a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3)
+    got = dscan.grand_product_sharded(
+        a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3, mesh
+    )
+    assert got == want
