@@ -59,44 +59,39 @@ def _plan(n: int, inverse: bool):
 
 
 def ntt_mont(a, inverse: bool, perm, tw, n_inv):
-    """NTT of Montgomery-form values. a: (16, ..., n) -> same shape."""
+    """NTT of Montgomery-form values. a: (16, ..., n) -> same shape.
+
+    Constant-geometry (Pease) decimation-in-frequency: every stage is
+    butterfly on (x[i], x[i + n/2]) -> interleaved outputs (2i, 2i+1),
+    with stage-s twiddle exponent (i >> s) << s. Identical shapes every
+    stage (one fori_loop body), ONE gather per stage (the twiddles — the
+    butterfly operands are plain slices and the interleave is a
+    stack+reshape), and a single bit-reversal gather at the end.
+    """
     spec = FR_SPEC
     n = a.shape[-1]
     if n == 1:
         return a
     logn = n.bit_length() - 1
     nbatch = a.ndim - 2  # extra batch axes between limb and position
-    a = jnp.take(a, perm, axis=-1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n // 2, 1), 0)[:, 0]  # 0..n/2-1
-    p = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]  # 0..n-1
+    half = n // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)[:, 0]  # 0..n/2-1
 
     def stage(s, a):
-        half = jnp.left_shift(1, s)
-        hm = half - 1
-        i_in_blk = j & hm
-        u_idx = ((j >> s) << (s + 1)) | i_in_blk  # first butterfly input
-        v_idx = u_idx + half
-        u = jnp.take(a, u_idx, axis=-1)
-        v = jnp.take(a, v_idx, axis=-1)
-        # twiddle exponent: i * (n / (2*half)) = i << (logn - 1 - s)
-        t_idx = i_in_blk << (logn - 1 - s)
-        w = jnp.take(tw, t_idx, axis=-1)  # (16, n/2)
+        u = a[..., :half]
+        v = a[..., half:]
+        e = (j >> s) << s
+        w = jnp.take(tw, e, axis=-1)  # (16, n/2)
         w = w.reshape(w.shape[:1] + (1,) * nbatch + w.shape[1:])
-        vw = limbs.mont_mul(spec, v, w)
-        cat = jnp.concatenate(
-            [limbs.add_mod(spec, u, vw), limbs.sub_mod(spec, u, vw)], axis=-1
-        )  # (16, ..., n): butterflies then their mirrors
-        # inverse permutation: output position p <- concat index
-        blk = p >> (s + 1)
-        r = p & ((half << 1) - 1)
-        src = jnp.where(
-            r < half,
-            (blk << s) + r,
-            (n // 2) + (blk << s) + (r - half),
-        )
-        return jnp.take(cat, src, axis=-1)
+        A = limbs.add_mod(spec, u, v)
+        B = limbs.mont_mul(spec, limbs.sub_mod(spec, u, v), w)
+        # interleave: y[2i] = A[i], y[2i+1] = B[i]
+        return jnp.stack([A, B], axis=-1).reshape(a.shape)
 
     a = jax.lax.fori_loop(0, logn, stage, a)
+    # result is in bit-reversed order; br is an involution so the forward
+    # table doubles as the inverse permutation
+    a = jnp.take(a, perm, axis=-1)
     if inverse:
         ni = n_inv.reshape(n_inv.shape[:1] + (1,) * nbatch + (1,))
         a = limbs.mont_mul(spec, a, ni)
