@@ -51,8 +51,15 @@ def _msm_kernel(px, py, pz, scalars):
     return g1_vec.tree_reduce(acc)
 
 
+#: chunk size for large MSMs. Beyond ~2^14 lanes the kernel's per-point
+#: rate degrades ~3.6x (working set leaves the fast regime); chunking at
+#: the sweet spot keeps the 2^14 rate AND reuses one compiled shape.
+CHUNK = 1 << 14
+
+
 def msm_device_arrays(points_mont, scalars_raw):
-    """Device MSM over pre-packed arrays. Pads n to a power of two.
+    """Device MSM over pre-packed arrays. Pads n to a power of two and
+    processes in CHUNK-sized pieces whose partial sums are tree-combined.
 
     Algorithm selected by config (bitserial | pippenger)."""
     from ..config import get_config
@@ -74,7 +81,40 @@ def msm_device_arrays(points_mont, scalars_raw):
         scalars_raw = jnp.concatenate(
             [scalars_raw, jnp.zeros((16, pad), dtype=jnp.uint32)], axis=-1
         )
-    return _msm_kernel(px, py, pz, scalars_raw)
+        n = m
+    if n <= CHUNK:
+        return _msm_kernel(px, py, pz, scalars_raw)
+    parts = [
+        _msm_kernel(
+            px[:, i : i + CHUNK],
+            py[:, i : i + CHUNK],
+            pz[:, i : i + CHUNK],
+            scalars_raw[:, i : i + CHUNK],
+        )
+        for i in range(0, n, CHUNK)
+    ]
+    stacked = tuple(
+        jnp.stack([p[k] for p in parts], axis=-1) for k in range(3)
+    )  # (L, nchunks) x3
+    return _combine_partials(stacked)
+
+
+@jax.jit
+def _combine_partials(stacked):
+    n = stacked[0].shape[-1]
+    m = 1
+    while m < n:
+        m <<= 1
+    if m != n:
+        pad = m - n
+        zero = jnp.zeros((stacked[0].shape[0], pad), dtype=jnp.uint32)
+        one = zero + jnp.asarray(g1_vec.FQ.one_mont)
+        stacked = (
+            jnp.concatenate([stacked[0], zero], axis=-1),
+            jnp.concatenate([stacked[1], one], axis=-1),
+            jnp.concatenate([stacked[2], zero], axis=-1),
+        )
+    return g1_vec.tree_reduce(stacked)
 
 
 def msm(points, scalars) -> "object":

@@ -59,3 +59,13 @@ def test_msm_matches_host(n):
     got = msm.msm(pts, scalars)
     want = msm_host.msm(pts, scalars)
     assert got == want
+
+
+def test_msm_chunked_path(monkeypatch):
+    """Exercise the chunk+combine path used for large n (CHUNK shrunk)."""
+    monkeypatch.setattr(msm, "CHUNK", 8)
+    n = 32
+    pts = _rand_points(n)
+    scalars = [rng.randrange(fr.Q) for _ in range(n)]
+    got = msm.msm(pts, scalars)
+    assert got == msm_host.msm(pts, scalars)
