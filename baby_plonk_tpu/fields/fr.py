@@ -11,8 +11,9 @@ scalar.rs:106-113 (generator = 7), scalar.rs:199 (2-adicity S = 32),
 scalar.rs:208-213 (ROOT_OF_UNITY = 7^((q-1)/2^32)).
 
 Host-side we use Python integers (arbitrary precision, exact); the TPU
-limb-vector kernels in ``baby_plonk_tpu.ops.fr_vec`` are validated against
-this module limb-for-limb.
+limb-vector kernels (``baby_plonk_tpu.ops.limbs`` with the Fr FieldSpec,
+used by ``ops.ntt`` / ``ops.dpoly``) are validated against this module
+limb-for-limb.
 """
 from __future__ import annotations
 
@@ -91,6 +92,55 @@ def roots_of_unity(group_order: int) -> list[int]:
     for _ in range(group_order - 1):
         out.append(out[-1] * w % Q)
     return out
+
+
+def pow_vartime(a: int, e: int) -> int:
+    """a^e — variable-time exponentiation (scalar.rs:397-414). Host ints
+    are not constant-time anyway; provided for library API parity."""
+    return pow(a % Q, e, Q)
+
+
+def sqrt(a: int) -> int | None:
+    """Square root via Tonelli–Shanks over the 2-adic subgroup
+    (scalar.rs:381-395 uses the same structure: q - 1 = 2^32 * t).
+
+    Returns a root r with r^2 = a (mod q), or None if a is a non-residue.
+    """
+    a = a % Q
+    if a == 0:
+        return 0
+    t_odd = (Q - 1) >> TWO_ADICITY
+    # initial guess x = a^((t+1)/2); b = a^t
+    x = pow(a, (t_odd + 1) // 2, Q)
+    b = pow(a, t_odd, Q)
+    g = pow(GENERATOR, t_odd, Q)  # order-2^32 generator (= ROOT_OF_UNITY)
+    r = TWO_ADICITY
+    while b != 1:
+        # find least m with b^(2^m) = 1
+        m = 0
+        t = b
+        while t != 1:
+            t = t * t % Q
+            m += 1
+            if m == r:
+                return None  # non-residue
+        gs = pow(g, 1 << (r - m - 1), Q)
+        x = x * gs % Q
+        g = gs * gs % Q
+        b = b * g % Q
+        r = m
+    return x
+
+
+def from_bytes_wide(b: bytes) -> int:
+    """64-byte little-endian uniform reduction mod q (scalar.rs:308-338).
+
+    The reference computes d0 + d1*R via Montgomery R2/R3 constants; the
+    result is the canonical residue of the 512-bit integer, which exact
+    host arithmetic produces directly.
+    """
+    assert len(b) == 64
+    return int.from_bytes(b, "little") % Q
 
 
 def to_bytes(a: int) -> bytes:

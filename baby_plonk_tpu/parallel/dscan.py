@@ -54,11 +54,20 @@ def _fold_totals(scan_loc, reverse: bool):
         use = idx > d
     one = limbs.const_limbs(FR_SPEC.one_mont, (16, ndev))
     masked = jnp.where(use[None, :], totals.T, one)  # (16, D)
-    # reduce the <=D totals with a log-depth halving product
+    # reduce the <=D totals with a log-depth halving product; pad the
+    # column count to a power of two with Montgomery ones first (odd
+    # widths would silently drop the trailing column otherwise)
     m = masked.shape[-1]
+    mp = 1
+    while mp < m:
+        mp <<= 1
+    if mp != m:
+        pad = limbs.const_limbs(FR_SPEC.one_mont, (16, mp - m))
+        masked = jnp.concatenate([masked, pad], axis=-1)
+        m = mp
     while m > 1:
         half = m // 2
-        masked = _mm(masked[:, :half], masked[:, half : 2 * half])
+        masked = _mm(masked[:, :half], masked[:, half:])
         m = half
     offset = masked  # (16, 1)
     return _mm(scan_loc, offset)

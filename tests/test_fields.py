@@ -56,3 +56,39 @@ def test_fq_sqrt_and_sign():
     # exactly one of (y, -y) is lexicographically largest
     y = rng.randrange(1, fq.P)
     assert fq.lexicographically_largest(y) != fq.lexicographically_largest(fq.P - y)
+
+
+def test_fr_sqrt():
+    """Tonelli-Shanks over the 2-adic subgroup (scalar.rs:381-395)."""
+    rng = random.Random(4)
+    assert fr.sqrt(0) == 0
+    assert fr.sqrt(1) in (1, fr.Q - 1)
+    n_residues = 0
+    for _ in range(20):
+        a = rng.randrange(1, fr.Q)
+        sq = a * a % fr.Q
+        r = fr.sqrt(sq)
+        assert r is not None and r * r % fr.Q == sq
+        # a non-residue: generator * square (generator is a non-residue)
+        nr = fr.GENERATOR * sq % fr.Q
+        assert fr.sqrt(nr) is None
+        n_residues += 1
+    assert n_residues == 20
+
+
+def test_fr_from_bytes_wide():
+    """64-byte uniform reduction (scalar.rs:308-338)."""
+    rng = random.Random(5)
+    assert fr.from_bytes_wide(b"\x00" * 64) == 0
+    assert fr.from_bytes_wide(b"\xff" * 64) == (2**512 - 1) % fr.Q
+    for _ in range(10):
+        v = rng.randrange(2**512)
+        assert fr.from_bytes_wide(v.to_bytes(64, "little")) == v % fr.Q
+
+
+def test_fr_pow_vartime():
+    rng = random.Random(6)
+    for _ in range(5):
+        a = rng.randrange(fr.Q)
+        e = rng.randrange(2**255)
+        assert fr.pow_vartime(a, e) == pow(a, e, fr.Q)

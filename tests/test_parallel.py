@@ -84,3 +84,25 @@ def test_grand_product_sharded(mesh):
         a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3, mesh
     )
     assert got == want
+
+
+@pytest.mark.parametrize("ndev", [3, 6])
+def test_grand_product_sharded_non_pow2_mesh(ndev):
+    """Regression: the cross-shard totals fold must not drop a shard on a
+    non-power-of-two mesh (dscan._fold_totals pads with Montgomery ones)."""
+    from baby_plonk_tpu.ops.engine import HostEngine
+    from baby_plonk_tpu.parallel import dscan
+
+    n = ndev * 16
+    roots_n = 1 << (n - 1).bit_length()
+    # grand product only needs equal-length columns, not a pow2 domain;
+    # use the first n roots of the covering pow2 domain as identity values
+    roots = fr.roots_of_unity(roots_n)[:n]
+    mk = lambda: [rng.randrange(fr.Q) for _ in range(n)]
+    a, b, c, s1, s2, s3 = mk(), mk(), mk(), mk(), mk(), mk()
+    beta, gamma = rng.randrange(fr.Q), rng.randrange(fr.Q)
+    want = HostEngine().grand_product(a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3)
+    got = dscan.grand_product_sharded(
+        a, b, c, s1, s2, s3, roots, beta, gamma, 2, 3, make_mesh(ndev)
+    )
+    assert got == want
