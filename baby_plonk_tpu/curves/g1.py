@@ -24,6 +24,15 @@ GEN_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC7
 # Fr group order (cofactor-cleared subgroup order).
 from ..fields.fr import Q as FR_ORDER  # noqa: E402
 
+#: |x| for the BLS parameter x = -0xd201000000010000 (lib/bls12_381/src/lib.rs:72-74)
+BLS_X_ABS = 0xD201000000010000
+_BLS_X_BITS = bin(BLS_X_ABS)[2:]
+
+#: nontrivial cube root of unity in Fq: the endomorphism (x, y) -> (BETA*x, y)
+#: acts as multiplication by -x^2 on the r-torsion (derived as 2^((p-1)/3)
+#: and selected by checking phi(G) == -[x^2]G; same role as g1.rs:421-428).
+BETA = pow(2, (P - 1) // 3, P)
+
 
 class G1:
     """Jacobian point (X, Y, Z): affine x = X/Z^2, y = Y/Z^3; identity has Z = 0."""
@@ -104,18 +113,54 @@ class G1:
     def __sub__(self, o: "G1") -> "G1":
         return self + (-o)
 
-    def __mul__(self, k: int) -> "G1":
-        k = int(k) % FR_ORDER
-        result = G1.identity()
-        base = self
+    def _mul_int(self, k: int) -> "G1":
+        """[k]P for a nonnegative integer k WITHOUT reduction mod r —
+        required for subgroup checks, where the point may not lie in the
+        r-torsion and [r]P != identity. Width-4 wNAF (255 doubles + ~51
+        adds instead of ~127; cf. the reference's plain double-and-add,
+        g1.rs:755-775 — constant-time there, variable-time is fine host-side)."""
+        assert k >= 0
+        if k == 0 or self.z == 0:
+            return G1.identity()
+        # wNAF digits, window 4: odd digits in [-7, 7]
+        digits = []
         while k:
             if k & 1:
-                result = result + base
-            base = base.double()
+                d = k & 15
+                if d > 8:
+                    d -= 16
+                k -= d
+            else:
+                d = 0
+            digits.append(d)
             k >>= 1
+        # odd multiples 1P, 3P, 5P, 7P
+        dbl = self.double()
+        odd = [self]
+        for _ in range(3):
+            odd.append(odd[-1] + dbl)
+        result = G1.identity()
+        for d in reversed(digits):
+            result = result.double()
+            if d > 0:
+                result = result + odd[d >> 1]
+            elif d < 0:
+                result = result - odd[(-d) >> 1]
         return result
 
+    def __mul__(self, k: int) -> "G1":
+        return self._mul_int(int(k) % FR_ORDER)
+
     __rmul__ = __mul__
+
+    def _mul_abs_x(self) -> "G1":
+        """[|x|]P — few set bits in the BLS parameter, so plain double-and-add."""
+        result = G1.identity()
+        for bit in _BLS_X_BITS:
+            result = result.double()
+            if bit == "1":
+                result = result + self
+        return result
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, G1):
@@ -139,8 +184,50 @@ class G1:
         x, y = self.to_affine()
         return y * y % P == (x * x % P * x + B) % P
 
+    @staticmethod
+    def batch_normalize(points: list["G1"]) -> list[tuple[int, int] | None]:
+        """Affine coordinates for a batch with ONE field inversion
+        (Montgomery's trick; public counterpart of g1.rs:806-839).
+        Identity entries map to None. The device-array variant is
+        ``ops.g1_vec.batch_normalize``."""
+        zs = [p.z for p in points if p.z != 0]
+        if not zs:
+            return [None] * len(points)
+        # prefix products and a single inversion
+        prefix = [1]
+        for z in zs:
+            prefix.append(prefix[-1] * z % P)
+        inv_total = fq.inv(prefix[-1])
+        zinvs = [0] * len(zs)
+        for i in range(len(zs) - 1, -1, -1):
+            zinvs[i] = prefix[i] * inv_total % P
+            inv_total = inv_total * zs[i] % P
+        out: list[tuple[int, int] | None] = []
+        j = 0
+        for p in points:
+            if p.z == 0:
+                out.append(None)
+            else:
+                zi = zinvs[j]
+                j += 1
+                zi2 = zi * zi % P
+                out.append((p.x * zi2 % P, p.y * zi2 % P * zi % P))
+        return out
+
+    def endomorphism(self) -> "G1":
+        """phi(x, y) = (BETA*x, y); in Jacobian just scale X (affine x = X/Z^2)."""
+        return G1(self.x * BETA % P, self.y, self.z)
+
     def is_torsion_free(self) -> bool:
-        return (self * FR_ORDER).is_identity() if not self.is_identity() else True
+        """Subgroup membership via the GLV endomorphism: P is in the
+        r-torsion iff phi(P) == -[x^2]P (eprint 2021/1130 §6; the
+        reference uses the same check, g1.rs:401-410). ~128 doublings
+        instead of a full 255-bit scalar multiplication — and unlike a
+        naive ``self * FR_ORDER`` it cannot be silently defeated by
+        scalar reduction mod r."""
+        if self.is_identity():
+            return True
+        return self.endomorphism() == -(self._mul_abs_x()._mul_abs_x())
 
     # -- serialization (g1.rs:221-391 format) --------------------------------
 

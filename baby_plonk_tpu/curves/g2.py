@@ -9,9 +9,20 @@ from __future__ import annotations
 
 from ..fields import fq
 from ..fields.fr import Q as FR_ORDER
-from ..fields.tower import Fp2
+from ..fields.tower import Fp2, XI
 
 B2 = Fp2(4, 4)  # 4(u + 1)
+
+#: |x| for the BLS parameter x = -0xd201000000010000 (lib/bls12_381/src/lib.rs:72-74)
+BLS_X_ABS = 0xD201000000010000
+_BLS_X_BITS = bin(BLS_X_ABS)[2:]
+
+#: psi = untwist-Frobenius-twist endomorphism constants:
+#: psi(x, y) = (C_X * conj(x), C_Y * conj(y)), acting as multiplication by
+#: p == x (mod r) on the r-torsion (derived from xi = u+1 and validated by
+#: psi(G) == [p mod r]G; same role as g2.rs:847-913).
+PSI_C_X = XI.pow((fq.P - 1) // 3).inv()
+PSI_C_Y = XI.pow((fq.P - 1) // 2).inv()
 
 GEN_X = Fp2(
     0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
@@ -106,8 +117,10 @@ class G2:
     def __sub__(self, o: "G2") -> "G2":
         return self + (-o)
 
-    def __mul__(self, k: int) -> "G2":
-        k = int(k) % FR_ORDER
+    def _mul_int(self, k: int) -> "G2":
+        """[k]P for a nonnegative integer WITHOUT reduction mod r (see
+        G1._mul_int — needed for subgroup checks)."""
+        assert k >= 0
         result = G2.identity()
         base = self
         while k:
@@ -117,7 +130,30 @@ class G2:
             k >>= 1
         return result
 
+    def __mul__(self, k: int) -> "G2":
+        return self._mul_int(int(k) % FR_ORDER)
+
     __rmul__ = __mul__
+
+    def _mul_abs_x(self) -> "G2":
+        """[|x|]P — few set bits in the BLS parameter."""
+        result = G2.identity()
+        for bit in _BLS_X_BITS:
+            result = result.double()
+            if bit == "1":
+                result = result + self
+        return result
+
+    def psi(self) -> "G2":
+        """Untwist-Frobenius-twist endomorphism; field conjugation commutes
+        with the Jacobian quotient, so apply coordinate-wise with the
+        affine constants folded in (x = X/Z^2 -> C_X conj(X) / conj(Z)^2
+        needs X scaled by C_X only when Z is conjugated too)."""
+        return G2(
+            PSI_C_X * self.x.conjugate(),
+            PSI_C_Y * self.y.conjugate(),
+            self.z.conjugate(),
+        )
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, G2):
@@ -218,7 +254,14 @@ class G2:
         return pt
 
     def is_torsion_free(self) -> bool:
-        return (self * FR_ORDER).is_identity() if not self.is_identity() else True
+        """Subgroup membership via psi: P is in the r-torsion iff
+        psi(P) == [x]P (x negative, so -[|x|]P) — eprint 2019/814; the
+        reference uses the same check (g2.rs:475-482). One 64-bit chain
+        instead of a 255-bit scalar multiplication, and sound (a naive
+        ``self * FR_ORDER`` reduces the scalar mod r and checks nothing)."""
+        if self.is_identity():
+            return True
+        return self.psi() == -self._mul_abs_x()
 
     def __repr__(self):
         aff = self.to_affine()

@@ -1,11 +1,15 @@
 """Optimal ate pairing on BLS12-381 — host-side exact.
 
 Reference parity: lib/bls12_381/src/pairings.rs (miller loop
-pairings.rs:668-694, line evaluation :696-770, final exponentiation
-:48-177). Implemented from the optimal-ate algorithm for BLS curves —
-not a port: we use affine G2 steps with batched slope inversions and a
-generic hard-part exponentiation validated against the lattice-reduced
-fast chain.
+pairings.rs:668-694, line evaluation :696-770, G2Prepared :498-552,
+final exponentiation :48-177). Implemented from the optimal-ate
+algorithm for BLS curves — not a port: we run affine G2 steps whose
+slope/intercept chain depends only on Q, so the whole chain (incl. its
+~70 Fp2 inversions) is precomputed ONCE per Q (``G2Prepared``) and
+cached; the per-pairing Miller loop is then inversion-free — each line
+is two Fp2 scalings of the stored coefficients plus one sparse
+``mul_by_014`` fold (fp12.rs:116-129). ``multi_miller_loop`` shares the
+f^2 squarings across all pairs.
 
 The pairing sits on the verifier path only (2 pairings per verify,
 verifier.rs:187-191) so a host implementation is appropriate; the MSM /
@@ -24,67 +28,103 @@ P = fq.P
 BLS_X = 0xD201000000010000
 BLS_X_IS_NEGATIVE = True
 
+_BITS = bin(BLS_X)[2:]
 
-def _line_fp12(c: Fp2, w2_coeff: Fp2, w3_coeff: Fp2) -> Fp12:
-    """Assemble the (sparse) line element c + w2_coeff*w^2 + w3_coeff*w^3.
 
-    With Fp12 = Fp6[w]/(w^2 - v) and Fp6 = Fp2[v]/(v^3 - xi):
-    w^2 = v, w^3 = v*w, so the element is
-    Fp12( Fp6(c, w2_coeff, 0), Fp6(0, w3_coeff, 0) ).
+class G2Prepared:
+    """Precomputed Miller-loop line chain for a fixed Q (pairings.rs:498-552).
+
+    Affine doubling/addition steps on the twist; each step stores
+    (lam, c = lam*x_T - y_T). The untwisted line through T evaluated at
+    P = (xp, yp) is then  c - (lam*xp) w^2 + yp w^3  — independent of P
+    until evaluation, so preparation amortizes all slope inversions.
+    Step order follows the bits of |x| MSB->LSB: one doubling entry per
+    bit after the first, plus one addition entry after each set bit.
     """
-    return Fp12(Fp6(c, w2_coeff, Fp2.zero()), Fp6(Fp2.zero(), w3_coeff, Fp2.zero()))
 
+    __slots__ = ("is_identity", "coeffs")
 
-def miller_loop(p: G1, q: G2) -> Fp12:
-    """Miller loop for e(p, q); returns f before final exponentiation."""
-    if p.is_identity() or q.is_identity():
-        return Fp12.one()
-
-    xp, yp = p.to_affine()
-    xq, yq = q.to_affine()
-    yp_fp2 = Fp2(yp, 0)
-    xp_fp2 = Fp2(xp, 0)
-
-    # Affine doubling/addition steps on the twist with slope lambda'.
-    # Untwisted line through T evaluated at P (multiplied by w^3, which is
-    # killed by the final exponentiation):
-    #   l = (lambda' * x_T - y_T)  - (lambda' * x_P) w^2 + y_P w^3
-    tx, ty = xq, yq
-    f = Fp12.one()
-
-    bits = bin(BLS_X)[2:]
-    for bit in bits[1:]:
-        # double step: lambda' = 3 tx^2 / (2 ty)
-        lam = tx.square().mul_fp(3) * (ty + ty).inv()
-        c = lam * tx - ty
-        line = _line_fp12(c, -(lam * xp_fp2), yp_fp2)
-        f = f.square() * line
-        # T = 2T (affine)
-        x3 = lam.square() - tx - tx
-        ty = lam * (tx - x3) - ty
-        tx = x3
-        if bit == "1":
-            # add step: lambda' = (ty - yq) / (tx - xq)
-            lam = (ty - yq) * (tx - xq).inv()
-            c = lam * tx - ty
-            line = _line_fp12(c, -(lam * xp_fp2), yp_fp2)
-            f = f * line
-            x3 = lam.square() - tx - xq
+    def __init__(self, q: G2):
+        if q.is_identity():
+            self.is_identity = True
+            self.coeffs: list[tuple[Fp2, Fp2]] = []
+            return
+        self.is_identity = False
+        xq, yq = q.to_affine()
+        tx, ty = xq, yq
+        coeffs = []
+        for bit in _BITS[1:]:
+            # double step: lam = 3 tx^2 / (2 ty)
+            lam = tx.square().mul_fp(3) * (ty + ty).inv()
+            coeffs.append((lam, lam * tx - ty))
+            x3 = lam.square() - tx - tx
             ty = lam * (tx - x3) - ty
             tx = x3
+            if bit == "1":
+                # add step: lam = (ty - yq) / (tx - xq)
+                lam = (ty - yq) * (tx - xq).inv()
+                coeffs.append((lam, lam * tx - ty))
+                x3 = lam.square() - tx - xq
+                ty = lam * (tx - x3) - ty
+                tx = x3
+        self.coeffs = coeffs
 
+
+_PREPARED_CACHE: dict[tuple, G2Prepared] = {}
+
+
+def prepare(q: G2) -> G2Prepared:
+    """Cached G2Prepared for q (the verifier reuses x_2 and the generator)."""
+    if q.is_identity():
+        key = None
+    else:
+        xq, yq = q.to_affine()
+        key = (xq.c0, xq.c1, yq.c0, yq.c1)
+    prep = _PREPARED_CACHE.get(key)
+    if prep is None:
+        if len(_PREPARED_CACHE) > 64:
+            _PREPARED_CACHE.clear()
+        prep = _PREPARED_CACHE[key] = G2Prepared(q)
+    return prep
+
+
+def multi_miller_loop(pairs: list) -> Fp12:
+    """Product of Miller loops with shared squarings (pairings.rs:554-605).
+
+    ``pairs`` entries are (G1, G2) or (G1, G2Prepared).
+    """
+    evals = []  # (xp_fp2-scaled later, yp, coeffs)
+    for p, q in pairs:
+        prep = q if isinstance(q, G2Prepared) else prepare(q)
+        if p.is_identity() or prep.is_identity:
+            continue
+        xp, yp = p.to_affine()
+        evals.append((xp, Fp2(yp, 0), prep.coeffs))
+    f = Fp12.one()
+    if not evals:
+        return f
+    idx = 0
+    for i, bit in enumerate(_BITS[1:]):
+        if i:
+            f = f.square()
+        for xp, yp2, coeffs in evals:
+            lam, c = coeffs[idx]
+            f = f.mul_by_014(c, -lam.mul_fp(xp), yp2)
+        idx += 1
+        if bit == "1":
+            for xp, yp2, coeffs in evals:
+                lam, c = coeffs[idx]
+                f = f.mul_by_014(c, -lam.mul_fp(xp), yp2)
+            idx += 1
     if BLS_X_IS_NEGATIVE:
-        # f^(−|x|) ≡ conj(f^(|x|)) up to factors killed by the final exponentiation.
+        # f^(-|x|) == conj(f^|x|) up to factors killed by the final exponentiation
         f = f.conjugate()
     return f
 
 
-def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fp12:
-    """Product of Miller loops (pairings.rs:554-605). Host-side simple product."""
-    f = Fp12.one()
-    for p, q in pairs:
-        f = f * miller_loop(p, q)
-    return f
+def miller_loop(p: G1, q: G2) -> Fp12:
+    """Miller loop for e(p, q); returns f before final exponentiation."""
+    return multi_miller_loop([(p, q)])
 
 
 def _cyclotomic_exp_abs_x(f: Fp12) -> Fp12:

@@ -170,6 +170,22 @@ class Fp6:
     def mul_fp2(self, k: Fp2) -> "Fp6":
         return Fp6(self.c0 * k, self.c1 * k, self.c2 * k)
 
+    def mul_by_1(self, b1: Fp2) -> "Fp6":
+        """Sparse product with (0, b1, 0) (fp6.rs:113-123): 3 Fp2 muls."""
+        return Fp6(
+            (self.c2 * b1).mul_by_nonresidue(), self.c0 * b1, self.c1 * b1
+        )
+
+    def mul_by_01(self, b0: Fp2, b1: Fp2) -> "Fp6":
+        """Sparse product with (b0, b1, 0) (fp6.rs:125-137): 5 Fp2 muls."""
+        a0, a1, a2 = self.c0, self.c1, self.c2
+        t0 = a0 * b0
+        t1 = a1 * b1
+        c0 = ((a1 + a2) * b1 - t1).mul_by_nonresidue() + t0
+        c1 = (a0 + a1) * (b0 + b1) - t0 - t1
+        c2 = (a0 + a2) * b0 - t0 + t1
+        return Fp6(c0, c1, c2)
+
     def square(self) -> "Fp6":
         return self * self
 
@@ -222,6 +238,17 @@ class Fp12:
 
     def square(self) -> "Fp12":
         return self * self
+
+    def mul_by_014(self, a: Fp2, b: Fp2, c: Fp2) -> "Fp12":
+        """Sparse product with Fp12(Fp6(a, b, 0), Fp6(0, c, 0)) — the shape
+        of a Miller-loop line element (fp12.rs:116-129). ~13 Fp2 muls vs 18
+        for a dense multiply."""
+        t0 = self.c0.mul_by_01(a, b)
+        t1 = self.c1.mul_by_1(c)
+        return Fp12(
+            t0 + t1.mul_by_nonresidue(),
+            (self.c0 + self.c1).mul_by_01(a, b + c) - t0 - t1,
+        )
 
     def conjugate(self) -> "Fp12":
         """The Fp12 conjugation = exponentiation by p^6 (fp12.rs:136-143)."""

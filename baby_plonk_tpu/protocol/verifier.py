@@ -45,6 +45,41 @@ class VerifierPreprocessedInput:
     x_2: G2
 
 
+def preprocessed_input(setup: Setup, program: Program, engine=None):
+    """The 8 preprocessed commitments + x_2 (verifier.rs:60-70), computed
+    once per (setup, program) pair and cached on the program object — the
+    reference recommits on every ``Verifier::new``; these commitments are
+    pure functions of the circuit and SRS, so verifying many proofs of the
+    same circuit pays the 8 MSMs once."""
+    if engine is None:
+        from ..ops.engine import get_default_engine
+
+        engine = get_default_engine()
+    cache = program.__dict__.setdefault("_vpi_cache", {})
+    key = (id(setup), id(engine))
+    vpi = cache.get(key)
+    if vpi is not None:
+        return vpi
+    cpi = program.common_preprocessed_input()
+
+    def commit_lagrange(p: Poly) -> G1:
+        return engine.commit(setup, Poly(engine.intt(p.values), Basis.MONOMIAL))
+
+    vpi = VerifierPreprocessedInput(
+        ql_1=commit_lagrange(cpi.ql),
+        qr_1=commit_lagrange(cpi.qr),
+        qm_1=commit_lagrange(cpi.qm),
+        qo_1=commit_lagrange(cpi.qo),
+        qc_1=commit_lagrange(cpi.qc),
+        s1_1=commit_lagrange(cpi.s1),
+        s2_1=commit_lagrange(cpi.s2),
+        s3_1=commit_lagrange(cpi.s3),
+        x_2=setup.x_2,
+    )
+    cache[key] = vpi
+    return vpi
+
+
 class Verifier:
     def __init__(self, setup: Setup, program: Program, proof: Proof, engine=None):
         if engine is None:
@@ -52,22 +87,7 @@ class Verifier:
 
             engine = get_default_engine()
         self.engine = engine
-        cpi = program.common_preprocessed_input()
-
-        def commit_lagrange(p: Poly) -> G1:
-            return engine.commit(setup, Poly(engine.intt(p.values), Basis.MONOMIAL))
-
-        self.vpi = VerifierPreprocessedInput(
-            ql_1=commit_lagrange(cpi.ql),
-            qr_1=commit_lagrange(cpi.qr),
-            qm_1=commit_lagrange(cpi.qm),
-            qo_1=commit_lagrange(cpi.qo),
-            qc_1=commit_lagrange(cpi.qc),
-            s1_1=commit_lagrange(cpi.s1),
-            s2_1=commit_lagrange(cpi.s2),
-            s3_1=commit_lagrange(cpi.s3),
-            x_2=setup.x_2,
-        )
+        self.vpi = preprocessed_input(setup, program, engine)
         self.proof = proof
         self.group_order = program.group_order
 
