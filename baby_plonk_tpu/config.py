@@ -36,11 +36,16 @@ class Config:
             else None
         )
     )
-    #: MSM algorithm: "bitserial" (default; empirically fastest on this
-    #: chip, see PERFORMANCE.md) or "pippenger" (sorted-bucket method,
-    #: ops/msm_pippenger.py)
+    #: generic MSM algorithm: "bitserial" (default) or "pippenger"
+    #: (sorted-bucket method, ops/msm_pippenger.py)
     msm_algorithm: str = field(
         default_factory=lambda: os.environ.get("BPT_MSM", "bitserial")
+    )
+    #: use precomputed fixed-base tables for KZG commits (ops/msm_fixed.py;
+    #: ~8x fewer point-add lanes than bitserial, tables cached per SRS).
+    #: BPT_MSM_FIXED=0 falls back to the generic MSM.
+    commit_fixed_base: bool = field(
+        default_factory=lambda: os.environ.get("BPT_MSM_FIXED", "1") != "0"
     )
     #: coset constants (prover.rs:99-100; verifier.rs:76-77)
     k1: int = 2

@@ -77,10 +77,10 @@ def _pow_table(z, n: int):
 
 @jax.jit
 def _reduce_add(x):
-    """Modular sum over the last axis -> (16, 1). n must be a power of 2."""
+    """Modular sum over the last axis (any leading dims); n must be a power of 2."""
     n = x.shape[-1]
     while n > 1:
-        x = limbs.add_mod(_SPEC, x[:, : n // 2], x[:, n // 2 :])
+        x = limbs.add_mod(_SPEC, x[..., : n // 2], x[..., n // 2 :])
         n //= 2
     return x
 
@@ -314,3 +314,24 @@ class DPoly:
 
     def __repr__(self):
         return f"DPoly({self.basis.name}, n={self.vals.shape[-1]})"
+
+
+@jax.jit
+def _eval_stack(vals, pw):
+    """vals (16, k, m) coeffs, pw (16, m) power table -> (16, k, 1) sums."""
+    return _reduce_add(_mul(vals, pw[:, None, :]))
+
+
+def eval_many(polys: list[DPoly], x: int) -> list[int]:
+    """Evaluate k monomial DPolys at one point with ONE kernel and ONE
+    host transfer (the prover's round 4 does 6+ of these; prover.rs:502-541
+    evaluates them one at a time)."""
+    assert all(p.basis == Basis.MONOMIAL for p in polys)
+    if not polys:
+        return []
+    size = _next_pow2(max(p.vals.shape[-1] for p in polys))
+    stacked = jnp.stack([_pad_to(p.vals, size) for p in polys], axis=1)
+    pw = _pow_table(_pack_scalar(x), size)
+    out = _eval_stack(stacked, pw)  # (16, k, 1)
+    flat = np.asarray(jax.device_get(out))[:, :, 0]
+    return _SPEC.unpack_mont(flat)

@@ -49,6 +49,19 @@ class HostEngine:
     def commit(self, setup, polynomial):
         return setup.commit(polynomial)
 
+    def eval_polys(self, polys, x: int) -> list[int]:
+        """Evaluate monomial polys at x (the TPU engine batches this)."""
+        return [p.eval(x) for p in polys]
+
+    def linear_combine(self, polys, coeffs: list[int], const: int):
+        """sum_i coeffs[i] * polys[i] + const (monomial). The TPU engine
+        fuses this into one kernel; prover round 5 is one such sum."""
+        out = None
+        for p, c in zip(polys, coeffs):
+            term = p * c
+            out = term if out is None else out + term
+        return out + const
+
     def grand_product(
         self, a, b, c, s1, s2, s3, roots, beta, gamma, k1, k2
     ) -> list[int]:

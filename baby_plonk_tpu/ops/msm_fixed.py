@@ -1,0 +1,179 @@
+"""Fixed-base MSM via precomputed group-combination tables (JAX).
+
+KZG commits are *fixed-base* MSMs: the SRS points are known long before
+the scalars (setup.rs:32-37 recomputes nothing either, but its Pippenger
+loop is per-commit work; msm.rs:76-118). This kernel moves almost all
+per-point work into a one-time per-SRS precomputation:
+
+  * points are grouped 8 at a time; for each group the 2^8 = 256 subset
+    sums  T[g][idx] = sum_{j: idx_j = 1} P_{8g+j}  are precomputed on
+    device (8 halving-doubling concat steps, ~32n point-adds once);
+  * the bit-serial Horner loop then processes ONE table lookup per group
+    per scalar bit:  acc = 2*acc + T[g][bits of the 8 group scalars] —
+    width n/8 instead of n, i.e. 2*255*(n/8) = ~64n add-lanes per MSM
+    versus ~510n for the plain bit-serial kernel (ops/msm.py): an 8x
+    op-count reduction with NO sorts and NO scatters (the failure modes
+    that made the sorted-bucket Pippenger slower, PERFORMANCE.md).
+
+Identity is representable (projective tables), so index 0 — all eight
+bits clear — needs no special casing; complete formulas do the rest.
+
+Tables are built lazily per 2^14-point chunk and cached per SRS
+(``tables_for_setup``), so the 9 commits of one proof and every later
+proof against the same SRS reuse them.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import g1_vec
+from .msm import BITS, _combine_partials
+
+GROUP = 8
+#: points per chunk; width inside the kernel is CHUNK/GROUP lanes
+CHUNK = 1 << 14
+
+
+@jax.jit
+def _build_tables(px, py, pz):
+    """(24, m) x3 Montgomery points, m % 8 == 0 ->
+    (24, m/8, 256) x3 subset-sum tables.
+
+    Table invariant: T[g][idx] = sum over set bits j of idx of P_{8g+j},
+    via the write-once recurrence T[idx] = T[idx - msb(idx)] + P_msb.
+    Each of the 8 steps runs at the FULL 256-entry width with a mask
+    (msb(idx) == b) — ~8x more add-lanes than the minimal doubling-width
+    schedule, but ONE compiled padd body (a fori_loop) instead of eight
+    differently-shaped graphs, which keeps compile time sane; the build
+    is one-time per SRS chunk."""
+    m = px.shape[-1]
+    G = m // GROUP
+    NB = 1 << GROUP
+    pts = tuple(c.reshape(24, G, GROUP) for c in (px, py, pz))
+    combos = g1_vec.pidentity((G, NB))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)[:, 0]  # (256,)
+
+    def step(b, combos):
+        mask = (idx >> b) == 1  # b is the highest set bit of idx
+        partner = idx & ((jnp.int32(1) << b) - 1)  # idx - 2^b where mask
+        gathered = tuple(
+            jnp.take(c, partner, axis=-1) for c in combos
+        )
+        pb = tuple(
+            jnp.broadcast_to(
+                jax.lax.dynamic_index_in_dim(c, b, axis=2, keepdims=True),
+                (24, G, NB),
+            )
+            for c in pts
+        )
+        added = g1_vec.padd(gathered, pb)
+        return g1_vec.pselect(mask, added, combos)
+
+    return jax.lax.fori_loop(0, GROUP, step, combos)
+
+
+@jax.jit
+def _msm_fixed_kernel(tx, ty, tz, scalars):
+    """tx/ty/tz: (24, G, 256) tables; scalars: (16, 8G) raw 16-bit limbs.
+    Returns the (X, Y, Z) limb tuple (24,) of the total."""
+    G = tx.shape[1]
+    acc = g1_vec.pidentity((G,))
+
+    def step(i, acc):
+        bit = BITS - 1 - i  # MSB-first Horner
+        limb = jax.lax.dynamic_index_in_dim(
+            scalars, bit >> 4, axis=0, keepdims=False
+        )
+        b = (limb >> (bit & 15).astype(jnp.uint32)) & 1  # (8G,)
+        bits8 = b.reshape(G, GROUP).astype(jnp.int32)
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+        idx = jnp.sum(bits8 << shifts, axis=-1)  # (G,) in [0, 256)
+        gidx = idx[None, :, None]
+        sel = tuple(
+            jnp.take_along_axis(t, gidx, axis=2)[:, :, 0] for t in (tx, ty, tz)
+        )
+        acc = g1_vec.pdouble(acc)
+        return g1_vec.padd(acc, sel)
+
+    acc = jax.lax.fori_loop(0, BITS, step, acc)
+    return g1_vec.tree_reduce(acc)
+
+
+class FixedBaseTables:
+    """Lazily-built, chunk-cached subset-sum tables for a fixed point set."""
+
+    def __init__(self, points_mont, chunk: int = CHUNK):
+        self.px, self.py, self.pz = points_mont
+        self.n = self.px.shape[-1]
+        assert chunk % GROUP == 0 and (chunk // GROUP) & (chunk // GROUP - 1) == 0
+        self.chunk = chunk
+        self._tables: dict[int, tuple] = {}
+
+    def _chunk_tables(self, ci: int):
+        t = self._tables.get(ci)
+        if t is not None:
+            return t
+        lo = ci * self.chunk
+        hi = min(lo + self.chunk, self.n)
+        px, py, pz = (c[:, lo:hi] for c in (self.px, self.py, self.pz))
+        pad = self.chunk - (hi - lo)
+        if pad:
+            # pad with copies of the first point; padded lanes only ever
+            # see zero scalar bits (scalars are zero-padded), contributing
+            # the identity table entry
+            px = jnp.concatenate([px, jnp.tile(px[:, :1], (1, pad))], axis=-1)
+            py = jnp.concatenate([py, jnp.tile(py[:, :1], (1, pad))], axis=-1)
+            pz = jnp.concatenate([pz, jnp.tile(pz[:, :1], (1, pad))], axis=-1)
+        t = _build_tables(px, py, pz)
+        self._tables[ci] = t
+        return t
+
+    def msm(self, scalars_raw):
+        """MSM of the first k points against scalars_raw (16, k), k <= n.
+        Returns the (X, Y, Z) limb tuple (24,)."""
+        k = scalars_raw.shape[-1]
+        assert k <= self.n
+        if k == 0:
+            return g1_vec.pidentity(())
+        nchunks = (k + self.chunk - 1) // self.chunk
+        parts = []
+        for ci in range(nchunks):
+            lo = ci * self.chunk
+            hi = min(lo + self.chunk, k)
+            sc = scalars_raw[:, lo:hi]
+            if hi - lo < self.chunk:
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((16, self.chunk - (hi - lo)), dtype=jnp.uint32)],
+                    axis=-1,
+                )
+            tx, ty, tz = self._chunk_tables(ci)
+            parts.append(_msm_fixed_kernel(tx, ty, tz, sc))
+        if len(parts) == 1:
+            return parts[0]
+        stacked = tuple(
+            jnp.stack([p[j] for p in parts], axis=-1) for j in range(3)
+        )
+        return _combine_partials(stacked)
+
+
+def tables_for_setup(setup, chunk: int | None = None) -> FixedBaseTables:
+    """Per-setup cached FixedBaseTables over the device SRS."""
+    tabs = getattr(setup, "_fb_tables", None)
+    if tabs is None:
+        if setup._tpu_cache is None:
+            from . import g1_vec as gv
+
+            setup._tpu_cache = gv.points_to_device(setup.powers_of_x)
+        if chunk is None:
+            n = setup._tpu_cache[0].shape[-1]
+            c = GROUP
+            while c < min(n, CHUNK):
+                c <<= 1
+            chunk = c
+        tabs = FixedBaseTables(setup._tpu_cache, chunk=chunk)
+        setup._fb_tables = tabs
+    return tabs

@@ -1,0 +1,170 @@
+"""Fused device kernels for the prover's round-3 and round-5 pipelines.
+
+The reference's round 3 (prover.rs:370-500) is a chain of polynomial
+multiplies and a long division; the round-1 DPoly port issued each as a
+separate device dispatch (~10 NTT round-trips). Here the whole quotient
+is ONE fused computation in an evaluation domain:
+
+  * all 15 operand polynomials are batched into a (16, 15, 4n) array,
+    scaled onto the coset g*<w_4n> (g = Fr generator, not in the domain)
+    and forward-NTT'd together;
+  * the full constraint combination (gate + alpha*permutation +
+    alpha^2*first-row, prover.rs:417-448) is evaluated POINTWISE;
+  * division by Z_H is pointwise multiplication by 1/Z_H(g w^j) — on the
+    coset Z_H never vanishes, and Z_H(g w^j) = g^n w_4^j - 1 takes only
+    FOUR distinct values (w^(nj) cycles with period 4n/n), so the inverse
+    table is 4 host inversions tiled;
+  * one inverse NTT + coset unscale gives the exact quotient t of degree
+    3n+5 < 4n (no aliasing), replacing the long division
+    (polynomial.rs:314-380) entirely.
+
+Round 5's linearization (prover.rs:543-647) is algebraically a single
+linear combination sum_i c_i * p_i + const with host-computable scalar
+coefficients; ``linear_combine_kernel`` evaluates it as one stacked
+multiply-reduce.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+from . import limbs, ntt as ntt_ops
+from .ntt import FR_SPEC
+
+Q = fr.Q
+
+
+def _mm(a, b):
+    return limbs.mont_mul(FR_SPEC, a, b)
+
+
+def _add(a, b):
+    return limbs.add_mod(FR_SPEC, a, b)
+
+
+def _sub(a, b):
+    return limbs.sub_mod(FR_SPEC, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _round3_kernel(
+    n: int,
+    stacked,      # (16, 15, m) monomial coeffs, m = 4n
+    gpow,         # (16, m) coset powers g^i
+    ginvpow,      # (16, m) g^{-i}
+    zh_inv,       # (16, m) 1/Z_H on the coset (tiled 4-value pattern)
+    dpow,         # (16, m) domain points g*w^j (order matches ntt output)
+    beta, gamma, alpha, alpha2, k1, k2,   # (16, 1) Montgomery scalars
+    perm_f, tw_f, ninv_f,                 # forward NTT plan (m)
+    perm_i, tw_i, ninv_i,                 # inverse NTT plan (m)
+):
+    spec = FR_SPEC
+    coset = _mm(stacked, gpow[:, None, :])
+    E = ntt_ops.ntt_mont(coset, False, perm_f, tw_f, ninv_f)
+    (aE, bE, cE, zE, zwE, s1E, s2E, s3E,
+     qlE, qrE, qmE, qoE, qcE, piE, l1E) = (E[:, i] for i in range(15))
+
+    def rlc(x, y):
+        return _add(_add(x, _mm(beta, y)), gamma)
+
+    gate = _add(
+        _add(_add(_mm(aE, qlE), _mm(bE, qrE)), _mm(_mm(aE, bE), qmE)),
+        _add(_add(_mm(cE, qoE), piE), qcE),
+    )
+    perm = _sub(
+        _mm(
+            _mm(_mm(rlc(aE, dpow), rlc(bE, _mm(k1, dpow))), rlc(cE, _mm(k2, dpow))),
+            zE,
+        ),
+        _mm(_mm(_mm(rlc(aE, s1E), rlc(bE, s2E)), rlc(cE, s3E)), zwE),
+    )
+    one = limbs.const_limbs(spec.one_mont, zE.shape)
+    first = _mm(_sub(zE, one), l1E)
+    allE = _add(gate, _add(_mm(alpha, perm), _mm(alpha2, first)))
+    tE = _mm(allE, zh_inv)
+    t = ntt_ops.ntt_mont(tE, True, perm_i, tw_i, ninv_i)
+    return _mm(t, ginvpow)
+
+
+def round3_quotient_device(
+    a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
+    ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c,
+    beta: int, gamma: int, alpha: int, k1: int, k2: int, n: int,
+):
+    """Inputs are DPoly (MONOMIAL). Returns the quotient t as a DPoly of
+    3n+6 coefficients. Matches the unfused path bit-for-bit (exact field
+    arithmetic throughout)."""
+    from ..protocol.poly import Basis
+    from .dpoly import DPoly, _pad_to, _pack_scalar, _pow_table
+
+    m = 4 * n
+    polys = [a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
+             ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c]
+    stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
+
+    g = fr.GENERATOR
+    g_inv = pow(g, Q - 2, Q)
+    w = fr.root_of_unity(m)
+    # Z_H(g w^j) = g^n w^(nj) - 1; w^n has order 4
+    w4 = pow(w, n, Q)
+    gn = pow(g, n, Q)
+    zh_vals = [pow((gn * pow(w4, j, Q) - 1) % Q, Q - 2, Q) for j in range(4)]
+    zh_inv = jnp.tile(jnp.asarray(FR_SPEC.pack_mont(zh_vals)), (1, m // 4))
+
+    gpow = _pow_table(_pack_scalar(g), m)
+    ginvpow = _pow_table(_pack_scalar(g_inv), m)
+    dpow = _mm(_pow_table(_pack_scalar(w), m), _pack_scalar(g))  # g * w^j
+
+    pk = lambda v: jnp.asarray(FR_SPEC.pack_mont([v % Q]))
+    perm_f, tw_f, ninv_f = (jnp.asarray(x) for x in ntt_ops._plan(m, False))
+    perm_i, tw_i, ninv_i = (jnp.asarray(x) for x in ntt_ops._plan(m, True))
+
+    t = _round3_kernel(
+        n, stacked, gpow, ginvpow, zh_inv, dpow,
+        pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
+        perm_f, tw_f, ninv_f, perm_i, tw_i, ninv_i,
+    )
+    from ..config import get_config
+
+    if get_config().debug_asserts:
+        # exact division <=> the interpolant has degree <= 3n+5: the top
+        # coefficients of the 4n-interpolation must vanish
+        top = np.asarray(jax.device_get(t[:, 3 * n + 6 :]))
+        assert not top.any(), "constraint polynomial not divisible by Z_H"
+    return DPoly(t[:, : 3 * n + 6], Basis.MONOMIAL)
+
+
+@jax.jit
+def _linear_combine_kernel(stacked, coeffs, const):
+    """sum_i coeffs[i] * stacked[:, i] + const*x^0.
+
+    stacked (16, R, m); coeffs (16, R, 1); const (16, 1)."""
+    terms = _mm(stacked, coeffs)  # (16, R, m)
+    R = terms.shape[1]
+    while R > 1:
+        half = R // 2
+        lo = terms[:, :half]
+        hi = terms[:, half : 2 * half]
+        rest = terms[:, 2 * half :]
+        terms = jnp.concatenate([_add(lo, hi), rest], axis=1)
+        R = terms.shape[1]
+    out = terms[:, 0]
+    head = _add(out[:, :1], const)
+    return jnp.concatenate([head, out[:, 1:]], axis=-1)
+
+
+def linear_combine_device(polys, coeffs: list[int], const: int):
+    """DPoly linear combination with one kernel."""
+    from ..protocol.poly import Basis
+    from .dpoly import DPoly, _pad_to, _pack_scalar
+
+    assert polys and len(polys) == len(coeffs)
+    m = max(p.vals.shape[-1] for p in polys)
+    stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
+    ck = jnp.asarray(FR_SPEC.pack_mont([c % Q for c in coeffs]))[:, :, None]
+    out = _linear_combine_kernel(stacked, ck, _pack_scalar(const))
+    return DPoly(out, Basis.MONOMIAL)

@@ -130,6 +130,19 @@ class TpuEngine:
 
     # -- KZG commit -----------------------------------------------------------
 
+    def _commit_arrays(self, setup, scalars_raw):
+        """Device MSM of raw scalar limbs (16, k) against the SRS prefix.
+        Fixed-base tables (per-SRS cached) unless disabled by config."""
+        from ..config import get_config
+
+        if get_config().commit_fixed_base:
+            from . import msm_fixed
+
+            return msm_fixed.tables_for_setup(setup).msm(scalars_raw)
+        px, py, pz = setup._tpu_cache
+        k = scalars_raw.shape[-1]
+        return dmsm.msm_device_arrays((px[:, :k], py[:, :k], pz[:, :k]), scalars_raw)
+
     def commit(self, setup, polynomial):
         from ..protocol.poly import Basis
         from .dpoly import DPoly
@@ -143,10 +156,8 @@ class TpuEngine:
             )
             if setup._tpu_cache is None:
                 setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
-            px, py, pz = setup._tpu_cache
             raw = _from_mont_jit(polynomial.vals)
-            out = dmsm.msm_device_arrays((px[:, :k], py[:, :k], pz[:, :k]), raw)
-            return g1_vec.point_from_device(out)
+            return g1_vec.point_from_device(self._commit_arrays(setup, raw))
         values = list(polynomial.values)
         while values and values[-1] == 0:
             values.pop()
@@ -159,11 +170,36 @@ class TpuEngine:
         )
         if setup._tpu_cache is None:
             setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
-        px, py, pz = setup._tpu_cache
-        k = len(values)
         sc = jnp.asarray(FR_SPEC.pack_raw(values))
-        out = dmsm.msm_device_arrays((px[:, :k], py[:, :k], pz[:, :k]), sc)
-        return g1_vec.point_from_device(out)
+        return g1_vec.point_from_device(self._commit_arrays(setup, sc))
+
+    def eval_polys(self, polys, x: int) -> list[int]:
+        """One batched kernel + one transfer for k point-evaluations."""
+        from .dpoly import DPoly, eval_many
+
+        if all(isinstance(p, DPoly) for p in polys):
+            return eval_many(polys, x)
+        return [p.eval(x) for p in polys]
+
+    def linear_combine(self, polys, coeffs, const):
+        from .dpoly import DPoly
+        from .prover_kernels import linear_combine_device
+
+        if all(isinstance(p, DPoly) for p in polys):
+            return linear_combine_device(polys, coeffs, const)
+        from .engine import HostEngine
+
+        return HostEngine.linear_combine(self, polys, coeffs, const)
+
+    def round3_quotient(self, *args, **kwargs):
+        """Fused coset-evaluation quotient (ops/prover_kernels.py); None
+        signals the caller to use the generic unfused path."""
+        from .dpoly import DPoly
+        from .prover_kernels import round3_quotient_device
+
+        if not all(isinstance(p, DPoly) for p in args[:15]):
+            return None
+        return round3_quotient_device(*args, **kwargs)
 
     # -- grand product --------------------------------------------------------
 

@@ -149,7 +149,6 @@ class Prover:
         b_values = col(lambda c: c.wires.R)
         c_values = col(lambda c: c.wires.O)
 
-        z_h = self.engine.vanishing(n)
         b1, b2, b3, b4, b5, b6 = self.blinding[:6]
 
         self.a_values, self.b_values, self.c_values = a_values, b_values, c_values
@@ -157,11 +156,20 @@ class Prover:
         self.b = self._poly(b_values, Basis.LAGRANGE)
         self.c = self._poly(c_values, Basis.LAGRANGE)
 
-        # blinding polys are (b2 + b1 x), (b4 + b3 x), (b6 + b5 x) (prover.rs:241-243)
-        self.a_coeff = self._poly([b2, b1], Basis.MONOMIAL) * z_h + self._intt(self.a)
-        self.b_coeff = self._poly([b4, b3], Basis.MONOMIAL) * z_h + self._intt(self.b)
-        self.c_coeff = self._poly([b6, b5], Basis.MONOMIAL) * z_h + self._intt(self.c)
-        self.z_h_coeff = z_h
+        # blinding polys are (b2 + b1 x), (b4 + b3 x), (b6 + b5 x), each
+        # multiplied by Z_H = x^n - 1 (prover.rs:241-247). The product has
+        # the closed form -b_lo - b_hi x + b_lo x^n + b_hi x^(n+1), so no
+        # polynomial multiplication (and no NTT) is needed.
+        def blind_zh(coeffs: list[int]):
+            lo = [(-c) % Q for c in coeffs]
+            return self._poly(
+                lo + [0] * (n - len(coeffs)) + coeffs, Basis.MONOMIAL
+            )
+
+        self.a_coeff = blind_zh([b2, b1]) + self._intt(self.a)
+        self.b_coeff = blind_zh([b4, b3]) + self._intt(self.b)
+        self.c_coeff = blind_zh([b6, b5]) + self._intt(self.c)
+        self._blind_zh = blind_zh
 
         return self._commit(self.a_coeff), self._commit(self.b_coeff), self._commit(self.c_coeff)
 
@@ -186,8 +194,9 @@ class Prover:
 
         b7, b8, b9 = self.blinding[6:9]
         self.z = self._poly(z_values, Basis.LAGRANGE)
-        # blinding poly b9 + b8 x + b7 x^2 (prover.rs:359)
-        self.z_coeff = self._poly([b9, b8, b7], Basis.MONOMIAL) * self.z_h_coeff + self._intt(self.z)
+        # blinding poly b9 + b8 x + b7 x^2 (prover.rs:359), times Z_H in
+        # closed form (see round_1)
+        self.z_coeff = self._blind_zh([b9, b8, b7]) + self._intt(self.z)
         return self._commit(self.z_coeff)
 
     # -- round 3 ------------------------------------------------------------------
@@ -209,36 +218,50 @@ class Prover:
 
         a_c, b_c, c_c, z_c = self.a_coeff, self.b_coeff, self.c_coeff, self.z_coeff
 
-        gate = (
-            a_c * ql_c
-            + b_c * qr_c
-            + a_c * b_c * qm_c
-            + c_c * qo_c
-            + self._intt(self.public_input_poly)
-            + qc_c
-        )
-
-        # iNTT of the identity permutation values w^i is the polynomial x
-        x_poly = self._poly([0, 1], Basis.MONOMIAL)
+        self.pi_coeff = self._intt(self.public_input_poly)
         omega = fr.root_of_unity(n)
         z_omega_c = z_c.scale_domain(omega)
         self.z_omega_coeff = z_omega_c
-
-        perm_grand = (
-            a_c.rlc(x_poly, beta, gamma)
-            * b_c.rlc(x_poly * K1, beta, gamma)
-            * c_c.rlc(x_poly * K2, beta, gamma)
-        ) * z_c - (
-            a_c.rlc(s1_c, beta, gamma)
-            * b_c.rlc(s2_c, beta, gamma)
-            * c_c.rlc(s3_c, beta, gamma)
-        ) * z_omega_c
-
         l1_c = self._l1_coeff()
-        perm_first_row = (z_c - 1) * l1_c
 
-        all_constraints = gate + perm_grand * alpha + perm_first_row * (alpha * alpha % Q)
-        t_coeff = all_constraints.divide_by_vanishing(n)
+        t_coeff = None
+        if hasattr(self.engine, "round3_quotient"):
+            # fused device path: one batched coset NTT + pointwise
+            # combination + pointwise Z_H division + one inverse NTT
+            t_coeff = self.engine.round3_quotient(
+                a_c, b_c, c_c, z_c, z_omega_c, s1_c, s2_c, s3_c,
+                ql_c, qr_c, qm_c, qo_c, qc_c, self.pi_coeff, l1_c,
+                beta, gamma, alpha, K1, K2, n,
+            )
+        if t_coeff is None:
+            gate = (
+                a_c * ql_c
+                + b_c * qr_c
+                + a_c * b_c * qm_c
+                + c_c * qo_c
+                + self.pi_coeff
+                + qc_c
+            )
+
+            # iNTT of the identity permutation values w^i is the polynomial x
+            x_poly = self._poly([0, 1], Basis.MONOMIAL)
+
+            perm_grand = (
+                a_c.rlc(x_poly, beta, gamma)
+                * b_c.rlc(x_poly * K1, beta, gamma)
+                * c_c.rlc(x_poly * K2, beta, gamma)
+            ) * z_c - (
+                a_c.rlc(s1_c, beta, gamma)
+                * b_c.rlc(s2_c, beta, gamma)
+                * c_c.rlc(s3_c, beta, gamma)
+            ) * z_omega_c
+
+            perm_first_row = (z_c - 1) * l1_c
+
+            all_constraints = (
+                gate + perm_grand * alpha + perm_first_row * (alpha * alpha % Q)
+            )
+            t_coeff = all_constraints.divide_by_vanishing(n)
 
         # split into t_lo | t_mid | t_hi at n, 2n (prover.rs:649-659)
         t_lo = t_coeff.slice_coeffs(0, n)
@@ -256,86 +279,103 @@ class Prover:
         return self._commit(t_lo), self._commit(t_mid), self._commit(t_hi)
 
     def _l1_coeff(self):
-        n = self.group_order
-        return self._intt(self._poly([1] + [0] * (n - 1), Basis.LAGRANGE))
+        if getattr(self, "_l1_c", None) is None:
+            n = self.group_order
+            self._l1_c = self._intt(self._poly([1] + [0] * (n - 1), Basis.LAGRANGE))
+        return self._l1_c
 
     # -- round 4 ------------------------------------------------------------------
 
     def round_4(self):
         zeta = self.ch.zeta
-        a_bar = self.a_coeff.eval(zeta)
-        b_bar = self.b_coeff.eval(zeta)
-        c_bar = self.c_coeff.eval(zeta)
-        s1_bar = self.s1_coeff.eval(zeta)
-        s2_bar = self.s2_coeff.eval(zeta)
-        z_omega_bar = self.z_omega_coeff.eval(zeta)
-        self.evals = (a_bar, b_bar, c_bar, s1_bar, s2_bar, z_omega_bar)
+        # one batched evaluation kernel for the 6 openings (the reference
+        # evaluates one by one, prover.rs:502-541) — plus L1(zeta) and
+        # PI(zeta), which round 5 needs at the same point
+        polys = [
+            self.a_coeff, self.b_coeff, self.c_coeff,
+            self.s1_coeff, self.s2_coeff, self.z_omega_coeff,
+            self._l1_coeff(), self.pi_coeff,
+        ]
+        evals = self.engine.eval_polys(polys, zeta)
+        self.evals = tuple(evals[:6])
+        self._l1_zeta, self._pi_zeta = evals[6], evals[7]
         return self.evals
 
     # -- round 5 ------------------------------------------------------------------
 
     def round_5(self):
+        """Linearization + opening quotients (prover.rs:543-647).
+
+        The polynomial  W_zeta_num = r + sum_i nu^i (p_i - pbar_i)  is a
+        single linear combination  sum_j c_j * P_j + const  with scalar
+        coefficients computable on the host, so the whole round issues one
+        fused combine (engine.linear_combine) and two synthetic divisions
+        instead of ~15 polynomial ops:
+          r = r1 + alpha r2 + alpha^2 r3 - r4 expands to rows
+          {qm, ql, qr, qo, qc, z, s3, t_lo, t_mid, t_hi} and a constant;
+          the nu-fold adds rows {a, b, c, s1, s2}.
+        """
         n = self.group_order
         ch = self.ch
         alpha, beta, gamma, zeta, nu = ch.alpha, ch.beta, ch.gamma, ch.zeta, ch.nu
         a_bar, b_bar, c_bar, s1_bar, s2_bar, z_omega_bar = self.evals
 
         z_c = self.z_coeff
-        r1 = (
-            self.qm_coeff * (a_bar * b_bar % Q)
-            + self.ql_coeff * a_bar
-            + self.qr_coeff * b_bar
-            + self.qo_coeff * c_bar
-            + self._intt(self.public_input_poly).eval(zeta)
-            + self.qc_coeff
-        )
-
-        r2 = z_c * (
+        l1_zeta = self._l1_zeta
+        zeta_n = pow(zeta, n, Q)
+        z_h_zeta = (zeta_n - 1) % Q
+        # r2 = z * v2 - (beta*s3 + (c_bar + gamma)) * w3 where
+        v2 = (
             (a_bar + zeta * beta + gamma)
+            * (b_bar + zeta * beta * K1 + gamma)
             % Q
-            * ((b_bar + zeta * beta * K1 + gamma) % Q)
+            * (c_bar + zeta * beta * K2 + gamma)
             % Q
-            * ((c_bar + zeta * beta * K2 + gamma) % Q)
-            % Q
-        ) - (self.s3_coeff * beta + ((c_bar + gamma) % Q)) * (
+        )
+        w3 = (
             (a_bar + s1_bar * beta + gamma)
-            % Q
-            * ((b_bar + s2_bar * beta + gamma) % Q)
+            * (b_bar + s2_bar * beta + gamma)
             % Q
             * z_omega_bar
             % Q
         )
+        alpha2 = alpha * alpha % Q
+        nus = [pow(nu, i, Q) for i in range(6)]
 
-        l1_zeta = self._l1_coeff().eval(zeta)
-        r3 = (z_c - 1) * l1_zeta
+        rows = [
+            self.qm_coeff, self.ql_coeff, self.qr_coeff, self.qo_coeff,
+            self.qc_coeff, z_c, self.s3_coeff,
+            self.t_lo_coeff, self.t_mid_coeff, self.t_hi_coeff,
+            self.a_coeff, self.b_coeff, self.c_coeff,
+            self.s1_coeff, self.s2_coeff,
+        ]
+        coeffs = [
+            a_bar * b_bar % Q, a_bar, b_bar, c_bar,
+            1, (alpha * v2 + alpha2 * l1_zeta) % Q, (-alpha * beta % Q) * w3 % Q,
+            -z_h_zeta % Q, -z_h_zeta * zeta_n % Q, -z_h_zeta * zeta_n % Q * zeta_n % Q,
+            nus[1], nus[2], nus[3], nus[4], nus[5],
+        ]
+        const = (
+            self._pi_zeta
+            - alpha * w3 % Q * ((c_bar + gamma) % Q)
+            - alpha2 * l1_zeta
+            - (
+                nus[1] * a_bar + nus[2] * b_bar + nus[3] * c_bar
+                + nus[4] * s1_bar + nus[5] * s2_bar
+            )
+        ) % Q
+        w_zeta_num = self.engine.linear_combine(rows, coeffs, const)
 
-        z_h_zeta = (pow(zeta, n, Q) - 1) % Q
-        r4 = (
-            self.t_lo_coeff
-            + self.t_mid_coeff * pow(zeta, n, Q)
-            + self.t_hi_coeff * pow(zeta, 2 * n, Q)
-        ) * z_h_zeta
-
-        r = r1 + r2 * alpha + r3 * (alpha * alpha % Q) - r4
         from ..config import get_config
 
         if get_config().debug_asserts:
-            assert r.eval(zeta) == 0, (
+            # r(zeta) = 0 (prover.rs:615)  <=>  w_zeta_num(zeta) = 0, since
+            # the nu-fold terms vanish at zeta by construction; also
+            # enforced by divide_by_linear's exactness check below.
+            assert w_zeta_num.eval(zeta) == 0, (
                 "linearization poly must vanish at zeta (prover.rs:615)"
             )
 
-        nu2 = nu * nu % Q
-        nu3 = nu2 * nu % Q
-        nu4 = nu3 * nu % Q
-        nu5 = nu4 * nu % Q
-        w_zeta_num = (
-            r
-            + (self.a_coeff - a_bar) * nu
-            + (self.b_coeff - b_bar) * nu2
-            + (self.c_coeff - c_bar) * nu3
-            + (self.s1_coeff - s1_bar) * nu4
-            + (self.s2_coeff - s2_bar) * nu5
-        )
         w_zeta = w_zeta_num.divide_by_linear(zeta)
 
         omega = fr.root_of_unity(n)

@@ -96,19 +96,40 @@ def main():
     pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, msm_n))
     sc_ints = [int.from_bytes(rng.bytes(31), "little") % fr.Q for _ in range(msm_n)]
     sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
+
+    # fixed-base combo-table MSM (the commit path): tables are per-SRS
+    # precompute, built once and cached — timed separately
+    from baby_plonk_tpu.ops import msm_fixed
+
+    tabs = msm_fixed.FixedBaseTables((px, py, pz))
     t0 = time.time()
-    res = msm_ops._msm_kernel(px, py, pz, sc)
+    for ci in range((msm_n + tabs.chunk - 1) // tabs.chunk):
+        sync(tabs._chunk_tables(ci))
+    log(f"fixed-base table build (one-time): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    res = tabs.msm(sc)
     sync(res)
     log(f"msm compile+run: {time.time()-t0:.2f}s")
     iters = int(os.environ.get("BPT_BENCH_ITERS", "3"))
     msm_dt = 1e30
     for _ in range(iters):
         t0 = time.time()
-        res = msm_ops._msm_kernel(px, py, pz, sc)
+        res = tabs.msm(sc)
         sync(res)
         msm_dt = min(msm_dt, max(time.time() - t0 - lat, 1e-9))
     msm_rate = msm_n / msm_dt
     log(f"MSM n=2^{msm_n.bit_length()-1}: {msm_dt*1e3:.1f} ms -> {msm_rate:.3e} points/s")
+
+    if os.environ.get("BPT_BENCH_BITSERIAL"):
+        res = msm_ops._msm_kernel(px, py, pz, sc)
+        sync(res)
+        bs_dt = 1e30
+        for _ in range(iters):
+            t0 = time.time()
+            res = msm_ops._msm_kernel(px, py, pz, sc)
+            sync(res)
+            bs_dt = min(bs_dt, max(time.time() - t0 - lat, 1e-9))
+        log(f"bit-serial MSM (same size): {bs_dt*1e3:.1f} ms -> {msm_n/bs_dt:.3e} points/s")
 
     # ---- host baseline (reference algorithm: serial Pippenger) --------------
     pts_host = [g] * host_n
@@ -124,7 +145,7 @@ def main():
     sc_zeroed = jnp.asarray(
         msm_ops.FR_SPEC.pack_raw(sc_ints[:host_n] + [0] * (msm_n - host_n))
     )
-    outp = msm_ops._msm_kernel(px, py, pz, sc_zeroed)
+    outp = tabs.msm(sc_zeroed)
     got = g1_vec.point_from_device(outp)
     assert got == want, "device MSM disagrees with host oracle"
     log("device/host MSM agreement: OK")

@@ -25,6 +25,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: the suite clears live executable caches
+# between modules (memory pressure, below) — the disk cache makes the
+# re-compiles near-free from the second run on.
+from baby_plonk_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -1,0 +1,72 @@
+"""Fixed-base combo-table MSM vs the host oracle (ops/msm_fixed.py)."""
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from baby_plonk_tpu.curves.g1 import G1
+from baby_plonk_tpu.curves import msm_host
+from baby_plonk_tpu.fields import fr
+from baby_plonk_tpu.ops import g1_vec, msm_fixed
+from baby_plonk_tpu.ops.msm import FR_SPEC
+
+rng = random.Random(20240817)
+
+
+def _mk(n):
+    pts = [G1.generator() * rng.randrange(1, fr.Q) for _ in range(n)]
+    scalars = [rng.randrange(fr.Q) for _ in range(n)]
+    return pts, scalars
+
+
+@pytest.mark.parametrize("n,chunk", [(8, 8), (16, 16), (24, 32), (64, 32)])
+def test_msm_fixed_matches_host(n, chunk):
+    pts, scalars = _mk(n)
+    tabs = msm_fixed.FixedBaseTables(g1_vec.points_to_device(pts), chunk=chunk)
+    sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+    got = g1_vec.point_from_device(tabs.msm(sc))
+    assert got == msm_host.msm(pts, scalars)
+
+
+def test_msm_fixed_prefix_and_reuse():
+    """Commit-shaped use: same tables, different scalar lengths k <= n."""
+    n = 40
+    pts, _ = _mk(n)
+    tabs = msm_fixed.FixedBaseTables(g1_vec.points_to_device(pts), chunk=16)
+    for k in (1, 7, 16, 33, 40):
+        scalars = [rng.randrange(fr.Q) for _ in range(k)]
+        sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+        got = g1_vec.point_from_device(tabs.msm(sc))
+        assert got == msm_host.msm(pts[:k], scalars)
+
+
+def test_msm_fixed_edge_scalars():
+    """Zeros, ones, Q-1, and identity-heavy patterns."""
+    n = 16
+    pts, _ = _mk(n)
+    tabs = msm_fixed.FixedBaseTables(g1_vec.points_to_device(pts), chunk=16)
+    for scalars in (
+        [0] * n,
+        [1] * n,
+        [fr.Q - 1] * n,
+        [0, 1] * (n // 2),
+        [rng.randrange(fr.Q)] + [0] * (n - 1),
+    ):
+        sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+        got = g1_vec.point_from_device(tabs.msm(sc))
+        assert got == msm_host.msm(pts, scalars)
+
+
+def test_tables_build_invariant():
+    """Spot-check table entries: T[g][idx] = sum of the subset."""
+    n = 8
+    pts, _ = _mk(n)
+    tabs = msm_fixed.FixedBaseTables(g1_vec.points_to_device(pts), chunk=8)
+    tx, ty, tz = tabs._chunk_tables(0)
+    for idx in (0, 1, 3, 0x55, 0xFF, rng.randrange(256)):
+        want = G1.identity()
+        for j in range(8):
+            if (idx >> j) & 1:
+                want = want + pts[j]
+        entry = tuple(c[:, 0, idx] for c in (tx, ty, tz))
+        assert g1_vec.point_from_device(entry) == want

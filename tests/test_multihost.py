@@ -1,0 +1,28 @@
+"""Multi-process (DCN-style) mesh smoke — wraps scripts/multihost_smoke.py.
+
+Validates parallel/mesh.py's topology-agnostic claim: the sharded prover
+step runs over a 2-process ``jax.distributed`` mesh whose collectives
+cross the process boundary (SURVEY.md §2.3 distributed-backend row).
+Runs in subprocesses (jax.distributed cannot initialize inside the
+already-initialized test process).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_two_process_mesh_prove_step():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
+        capture_output=True,
+        text=True,
+        timeout=580,
+        env=dict(os.environ, PYTHONPATH=REPO),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost smoke: OK" in proc.stdout
