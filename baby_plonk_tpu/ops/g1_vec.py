@@ -156,6 +156,39 @@ def pdouble(p):
     return (X3, Y3, Z3)
 
 
+def padd_mixed(p1, q_affine):
+    """Mixed addition P (projective) + Q (affine, Z2 = 1 implicit) —
+    RCB15 Algorithm 8 for a = 0: 13 muls in 3 stacked stages vs padd's 14,
+    and one fewer operand coordinate to load. Complete in P; Q must NOT be
+    the identity (affine cannot represent it) — callers mask that case
+    (the (0, 0) marker is off-curve, so it is unambiguous)."""
+    X1, Y1, Z1 = p1
+    X2, Y2 = q_affine
+    t0, t1, m3, m4, m5, bz = _stackmul(
+        [X1, Y1, _add(X1, Y1), Z1, Z1, Z1],
+        [X2, Y2, _add(X2, Y2), Y2, X2, _b3(Z1)],
+    )
+    t3 = _sub(m3, _add(t0, t1))  # X1Y2 + X2Y1
+    t4 = _add(Y1, m4)  # Y1 + Y2Z1
+    t5 = _add(X1, m5)  # X1 + X2Z1
+    t0_3 = _add(_add(t0, t0), t0)  # 3 X1X2
+    (y3t,) = _stackmul([_b3(t5)], [t5])  # b3 (X1 + X2Z1)
+    z3t = _add(t1, bz)
+    t1m = _sub(t1, bz)
+    w0, w1, w2, w3, w4, w5 = _stackmul_wide(
+        [t3, t4, y3t, t1m, z3t, t0_3],
+        [t1m, y3t, t0_3, z3t, t4, t3],
+    )
+    X3, Y3, Z3 = _stackreduce(
+        [
+            limbs.sub_wide(FQ, w0, w1),
+            limbs.add_wide(FQ, w2, w3),
+            limbs.add_wide(FQ, w4, w5),
+        ]
+    )
+    return (X3, Y3, Z3)
+
+
 def pselect(cond, p_true, p_false):
     """Lane select between point batches; cond (batch,) bool."""
     return tuple(limbs.select(cond, a, b) for a, b in zip(p_true, p_false))
@@ -211,6 +244,19 @@ def point_from_device(p) -> "object":
         return G1.identity()
     zinv = fq.inv(Z)
     return G1.from_affine(X * zinv % fq.P, Y * zinv % fq.P)
+
+
+def batch_normalize(p):
+    """Projective batch (X, Y, Z) -> affine (x, y) arrays with ONE field
+    inversion (device counterpart of g1.rs:806-839, via limbs.batch_inverse
+    over the flattened batch). Identity lanes (Z = 0) map to the off-curve
+    (0, 0) marker."""
+    X, Y, Z = p
+    shape = Z.shape
+    zinv = limbs.batch_inverse(FQ, Z.reshape(FQ.L, -1)).reshape(shape)
+    x = limbs.mont_mul(FQ, X, zinv)
+    y = limbs.mont_mul(FQ, Y, zinv)
+    return (x, y)
 
 
 # -- reductions ---------------------------------------------------------------

@@ -514,6 +514,32 @@ def mont_pow_fixed(spec: FieldSpec, a, exponent: int):
     return r
 
 
+def batch_inverse(spec: FieldSpec, a):
+    """Elementwise modular inverse over the last axis (Montgomery in/out)
+    with ONE field inversion — Montgomery's trick in parallel form:
+    inv(a_i) = prefix_{<i} * inv(total) * suffix_{>i}, the prefix/suffix
+    products via log-depth associative scans. Zeros map to zero.
+
+    Device counterpart of the reference's per-element addchain ``invert``
+    (scalar.rs:416-512) and the engine behind batched affine
+    normalization (g1.rs:806-839)."""
+    one = _bc(spec.one_mont, a)
+    nz = ~is_zero(a)
+    safe = jnp.where(nz[None], a, one)
+    mul = lambda x, y: mont_mul(spec, x, y)
+    inc = jax.lax.associative_scan(mul, safe, axis=-1)  # inclusive prefix
+    total = inc[..., -1:]
+    inv_total = mont_pow_fixed(spec, total, spec.modulus - 2)
+    # exclusive prefix / suffix
+    pre = jnp.concatenate([_bc(spec.one_mont, total), inc[..., :-1]], axis=-1)
+    suf_inc = jnp.flip(
+        jax.lax.associative_scan(mul, jnp.flip(safe, axis=-1), axis=-1), axis=-1
+    )
+    suf = jnp.concatenate([suf_inc[..., 1:], _bc(spec.one_mont, total)], axis=-1)
+    out = mul(mul(pre, inv_total), suf)
+    return jnp.where(nz[None], out, jnp.zeros_like(out))
+
+
 # Jitted entry points (spec is static). Always prefer these at call
 # boundaries — eager dispatch of the lane ops inside a mont_mul is slow,
 # especially through a remote TPU tunnel.

@@ -26,6 +26,7 @@ multiply-reduce.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,45 @@ def _add(a, b):
 
 def _sub(a, b):
     return limbs.sub_mod(FR_SPEC, a, b)
+
+
+@jax.jit
+def _coset_ntt_fwd(stacked, gpow, perm_f, tw_f, ninv_f):
+    """Coset scale + forward NTT for a row group (split memory path)."""
+    return ntt_ops.ntt_mont(
+        _mm(stacked, gpow[:, None, :]), False, perm_f, tw_f, ninv_f
+    )
+
+
+@jax.jit
+def _round3_combine(E, zh_inv, dpow, beta, gamma, alpha, alpha2, k1, k2):
+    """Pointwise constraint combination + Z_H division on coset evals."""
+    (aE, bE, cE, zE, zwE, s1E, s2E, s3E,
+     qlE, qrE, qmE, qoE, qcE, piE, l1E) = (E[:, i] for i in range(15))
+
+    def rlc(x, y):
+        return _add(_add(x, _mm(beta, y)), gamma)
+
+    gate = _add(
+        _add(_add(_mm(aE, qlE), _mm(bE, qrE)), _mm(_mm(aE, bE), qmE)),
+        _add(_add(_mm(cE, qoE), piE), qcE),
+    )
+    perm = _sub(
+        _mm(
+            _mm(_mm(rlc(aE, dpow), rlc(bE, _mm(k1, dpow))), rlc(cE, _mm(k2, dpow))),
+            zE,
+        ),
+        _mm(_mm(_mm(rlc(aE, s1E), rlc(bE, s2E)), rlc(cE, s3E)), zwE),
+    )
+    one = limbs.const_limbs(FR_SPEC.one_mont, zE.shape)
+    first = _mm(_sub(zE, one), l1E)
+    allE = _add(gate, _add(_mm(alpha, perm), _mm(alpha2, first)))
+    return _mm(allE, zh_inv)
+
+
+@jax.jit
+def _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i):
+    return _mm(ntt_ops.ntt_mont(tE, True, perm_i, tw_i, ninv_i), ginvpow)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -123,11 +163,30 @@ def round3_quotient_device(
     perm_f, tw_f, ninv_f = (jnp.asarray(x) for x in ntt_ops._plan(m, False))
     perm_i, tw_i, ninv_i = (jnp.asarray(x) for x in ntt_ops._plan(m, True))
 
-    t = _round3_kernel(
-        n, stacked, gpow, ginvpow, zh_inv, dpow,
-        pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
-        perm_f, tw_f, ninv_f, perm_i, tw_i, ninv_i,
-    )
+    # memory-capped split path for large domains: the single fused kernel
+    # needs ~4x the 15-row stack live at once; above the budget run the
+    # forward NTTs in row groups, then combine, then one inverse NTT
+    budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 30)))
+    if stacked.nbytes * 4 > budget:
+        rows_per = max(1, budget // max(m * 16 * 4 * 4, 1))
+        groups = []
+        for lo in range(0, 15, rows_per):
+            groups.append(
+                _coset_ntt_fwd(stacked[:, lo : lo + rows_per], gpow,
+                               perm_f, tw_f, ninv_f)
+            )
+        E = jnp.concatenate(groups, axis=1)
+        tE = _round3_combine(
+            E, zh_inv, dpow,
+            pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
+        )
+        t = _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i)
+    else:
+        t = _round3_kernel(
+            n, stacked, gpow, ginvpow, zh_inv, dpow,
+            pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
+            perm_f, tw_f, ninv_f, perm_i, tw_i, ninv_i,
+        )
     from ..config import get_config
 
     if get_config().debug_asserts:

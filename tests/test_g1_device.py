@@ -69,3 +69,38 @@ def test_msm_chunked_path(monkeypatch):
     scalars = [rng.randrange(fr.Q) for _ in range(n)]
     got = msm.msm(pts, scalars)
     assert got == msm_host.msm(pts, scalars)
+
+
+def test_padd_mixed_matches_padd():
+    """Mixed addition (RCB15 Alg 8) vs complete projective addition."""
+    import jax.numpy as jnp
+
+    from baby_plonk_tpu.fields.fr import Q as R
+
+    rngm = random.Random(55)
+    pts1 = [G1.generator() * rngm.randrange(1, R) for _ in range(6)]
+    pts2 = [G1.generator() * rngm.randrange(1, R) for _ in range(6)]
+    pts2[3] = pts1[3]          # doubling case
+    pts2[4] = -pts1[4]         # P + (-P) = identity
+    p1 = g1_vec.points_to_device(pts1)
+    p2 = g1_vec.points_to_device(pts2)
+    aff = g1_vec.batch_normalize(p2)
+    got = g1_vec.padd_mixed(p1, aff)
+    for i in range(6):
+        lane = tuple(c[:, i] for c in got)
+        assert g1_vec.point_from_device(lane) == pts1[i] + pts2[i]
+
+
+def test_batch_normalize_device():
+    from baby_plonk_tpu.fields.fr import Q as R
+    from baby_plonk_tpu.ops.g1_vec import FQ_SPEC
+
+    rngm = random.Random(56)
+    pts = [G1.generator() * rngm.randrange(1, R) for _ in range(5)]
+    p = g1_vec.points_to_device(pts + [G1.identity()])
+    x, y = g1_vec.batch_normalize(p)
+    xs = FQ_SPEC.unpack_mont(np.asarray(x))
+    ys = FQ_SPEC.unpack_mont(np.asarray(y))
+    for i, pt in enumerate(pts):
+        assert (xs[i], ys[i]) == pt.to_affine()
+    assert xs[5] == 0 and ys[5] == 0

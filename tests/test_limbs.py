@@ -90,3 +90,22 @@ def test_broadcasting():
     b = FR.pack_mont(y).reshape(16, 1, 1)
     got = FR.unpack_mont(np.asarray(limbs.mont_mul_jit(FR, a, b)).reshape(16, 8))
     assert got == [x * y[0] % fr.Q for x in xs]
+
+
+def test_batch_inverse():
+    """Device batch inversion (Montgomery's trick, scan form)."""
+    import jax.numpy as jnp
+
+    from baby_plonk_tpu.fields import fr
+    from baby_plonk_tpu.ops import limbs as L
+
+    spec = L.FieldSpec(fr.Q, 16)
+    rng2 = random.Random(99)
+    vals = [rng2.randrange(1, fr.Q) for _ in range(33)] + [0, 1, fr.Q - 1]
+    a = jnp.asarray(spec.pack_mont(vals))
+    out = spec.unpack_mont(np.asarray(L.batch_inverse(spec, a)))
+    for v, iv in zip(vals, out):
+        if v == 0:
+            assert iv == 0
+        else:
+            assert v * iv % fr.Q == 1

@@ -40,3 +40,21 @@ def test_proof_bytes_identical_across_engines():
     p_tpu = Prover(setup, program, engine=TpuEngine()).prove(witness, blinding=blinding)
     assert p_host.to_bytes() == p_tpu.to_bytes()
     assert Verifier(setup, program, p_tpu).verify([80])
+
+
+def test_round3_split_memory_path_byte_identical(monkeypatch):
+    """The memory-capped round-3 path (grouped forward NTTs + separate
+    combine/iNTT kernels) must produce the same proof as the fused kernel."""
+    monkeypatch.setenv("BPT_ROUND3_BATCH_BYTES", "4096")  # force the split
+    from baby_plonk_tpu.protocol.program import Program
+    from baby_plonk_tpu.protocol.prover import Prover
+    from baby_plonk_tpu.protocol.setup import Setup
+
+    n = 8
+    setup = Setup.generate_srs(n + 6, tau=101, cache=False)
+    program = Program.from_strs(["e public", "c <== a * b + b", "e <== c * d"], n)
+    w = {"a": 3, "b": 4, "c": 16, "d": 5, "e": 80}
+    bl = list(range(1, 12))
+    got = Prover(setup, program, engine=TpuEngine()).prove(w, blinding=bl)
+    want = Prover(setup, program, engine=HostEngine()).prove(w, blinding=bl)
+    assert got.to_bytes() == want.to_bytes()
