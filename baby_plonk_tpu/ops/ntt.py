@@ -31,6 +31,11 @@ from .limbs import FieldSpec
 
 FR_SPEC = FieldSpec(fr.Q, 16)
 
+#: butterfly radix: 4 fuses two Pease stages per relayout (A/B via env)
+import os as _os  # noqa: E402
+
+_RADIX = int(_os.environ.get("BPT_NTT_RADIX", "4"))
+
 
 def _bit_reverse_perm(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
@@ -47,12 +52,16 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _plan(n: int, inverse: bool):
-    """(perm, twiddle_table (16, n/2), n_inv (16, 1)) host tables."""
+    """(perm, twiddle_table (16, max(3n/4, 1)), n_inv (16, 1)) host tables.
+
+    The table covers exponents < 3n/4 — radix-2 stages index < n/2, the
+    fused radix-4 stages index up to 3e < 3n/4."""
     root = fr.root_of_unity(n) if n > 1 else 1
     if inverse:
         root = pow(root, fr.Q - 2, fr.Q)
-    tw = [1] * max(n // 2, 1)
-    for i in range(1, n // 2):
+    ntw = max(3 * n // 4, 1)
+    tw = [1] * ntw
+    for i in range(1, ntw):
         tw[i] = tw[i - 1] * root % fr.Q
     n_inv = FR_SPEC.pack_mont([pow(n, fr.Q - 2, fr.Q)])
     return _bit_reverse_perm(n), FR_SPEC.pack_mont(tw), n_inv
@@ -88,7 +97,48 @@ def ntt_mont(a, inverse: bool, perm, tw, n_inv):
         # interleave: y[2i] = A[i], y[2i+1] = B[i]
         return jnp.stack([A, B], axis=-1).reshape(a.shape)
 
-    a = jax.lax.fori_loop(0, logn, stage, a)
+    if n >= 4 and _RADIX == 4:
+        # fused radix-4 stages: the exact composition of radix-2 stages
+        # (s, s+1) — identical outputs and mul count (4 per quartet, one
+        # by the constant I = w^(n/4)), but ONE relayout per two stages
+        # and 3 quarter-width twiddle gathers instead of 2 half-width.
+        #   y[4m]   = A+B+C+D
+        #   y[4m+1] = ((A+C) - (B+D)) * w^(2e)
+        #   y[4m+2] = ((A-C) + I(B-D)) * w^e
+        #   y[4m+3] = ((A-C) - I(B-D)) * w^(3e),   e = (m >> s) << s
+        q = n // 4
+        jq = jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0)[:, 0]
+        eye = jnp.take(tw, jnp.full((1,), n // 4, jnp.int32), axis=-1)
+        eye = eye.reshape(eye.shape[:1] + (1,) * nbatch + (1,))
+
+        def stage4(i, a):
+            s = 2 * i
+            A = a[..., :q]
+            B = a[..., q : 2 * q]
+            C = a[..., 2 * q : 3 * q]
+            D = a[..., 3 * q :]
+            e = (jq >> s) << s
+            w1, w2, w3 = (
+                jnp.take(tw, k * e, axis=-1).reshape(
+                    tw.shape[:1] + (1,) * nbatch + (q,)
+                )
+                for k in (1, 2, 3)
+            )
+            t0 = limbs.add_mod(spec, A, C)
+            t1 = limbs.add_mod(spec, B, D)
+            t2 = limbs.sub_mod(spec, A, C)
+            t3 = limbs.mont_mul(spec, limbs.sub_mod(spec, B, D), eye)
+            y0 = limbs.add_mod(spec, t0, t1)
+            y1 = limbs.mont_mul(spec, limbs.sub_mod(spec, t0, t1), w2)
+            y2 = limbs.mont_mul(spec, limbs.add_mod(spec, t2, t3), w1)
+            y3 = limbs.mont_mul(spec, limbs.sub_mod(spec, t2, t3), w3)
+            return jnp.stack([y0, y1, y2, y3], axis=-1).reshape(a.shape)
+
+        a = jax.lax.fori_loop(0, logn // 2, stage4, a)
+        if logn % 2:
+            a = stage(logn - 1, a)
+    else:
+        a = jax.lax.fori_loop(0, logn, stage, a)
     # result is in bit-reversed order; br is an involution so the forward
     # table doubles as the inverse permutation
     a = jnp.take(a, perm, axis=-1)

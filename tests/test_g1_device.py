@@ -71,6 +71,7 @@ def test_msm_chunked_path(monkeypatch):
     assert got == msm_host.msm(pts, scalars)
 
 
+@pytest.mark.slow
 def test_padd_mixed_matches_padd():
     """Mixed addition (RCB15 Alg 8) vs complete projective addition."""
     import jax.numpy as jnp

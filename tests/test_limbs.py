@@ -92,6 +92,7 @@ def test_broadcasting():
     assert got == [x * y[0] % fr.Q for x in xs]
 
 
+@pytest.mark.slow
 def test_batch_inverse():
     """Device batch inversion (Montgomery's trick, scan form)."""
     import jax.numpy as jnp

@@ -19,7 +19,15 @@ def _mk(n):
     return pts, scalars
 
 
-@pytest.mark.parametrize("n,chunk", [(8, 8), (16, 16), (24, 32), (64, 32)])
+@pytest.mark.parametrize(
+    "n,chunk",
+    [
+        (8, 8),
+        pytest.param(16, 16, marks=pytest.mark.slow),
+        pytest.param(24, 32, marks=pytest.mark.slow),
+        pytest.param(64, 32, marks=pytest.mark.slow),
+    ],
+)
 def test_msm_fixed_matches_host(n, chunk):
     pts, scalars = _mk(n)
     tabs = msm_fixed.FixedBaseTables(g1_vec.points_to_device(pts), chunk=chunk)

@@ -3,6 +3,9 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpreter-mode kernels are minutes-slow
 
 from baby_plonk_tpu.curves.g1 import G1
 from baby_plonk_tpu.curves import msm_host

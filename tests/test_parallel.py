@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / mesh pipelines
+
 from baby_plonk_tpu.curves.g1 import G1
 from baby_plonk_tpu.curves import msm_host
 from baby_plonk_tpu.fields import fr

@@ -19,6 +19,7 @@ def test_device_srs_matches_host_chain():
     assert pts == setup_host.powers_of_x
 
 
+@pytest.mark.slow
 def test_prove_with_device_srs():
     n = 8
     setup = Setup.generate_srs_device(n + 6, tau=101)

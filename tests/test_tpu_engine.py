@@ -25,6 +25,7 @@ def test_grand_product_matches_host():
     assert host == tpu
 
 
+@pytest.mark.slow
 def test_proof_bytes_identical_across_engines():
     """Fixed blinding => byte-identical proofs host vs TPU engine
     (SURVEY.md §4 determinism note)."""
