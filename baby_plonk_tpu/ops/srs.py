@@ -41,8 +41,16 @@ def _fixed_base_kernel(px, py, pz, scalars):
     return acc
 
 
+#: chunk size: past ~2^14 lanes the bit-serial kernel's per-lane rate
+#: degrades ~3.6x (working set), and one compiled shape covers all chunks
+SRS_CHUNK = 1 << 14
+
+
 def powers_of_tau_device(powers: int, tau: int):
-    """(X, Y, Z) device arrays (24, powers) with column i = tau^i * G."""
+    """(X, Y, Z) device arrays (24, powers) with column i = tau^i * G.
+
+    Chunked at the 2^14 sweet spot (same reasoning as ops/msm.py CHUNK):
+    each chunk is one fixed-base batch; chunks reuse one compiled shape."""
     tau = tau % fr.Q
     cur = 1
     scalars = []
@@ -53,11 +61,25 @@ def powers_of_tau_device(powers: int, tau: int):
     from . import g1_vec
 
     base = g1_vec.points_to_device([G1.generator()])
-    px = jnp.tile(base[0], (1, powers))
-    py = jnp.tile(base[1], (1, powers))
-    pz = jnp.tile(base[2], (1, powers))
-    sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
-    return _fixed_base_kernel(px, py, pz, sc)
+    if powers <= SRS_CHUNK:
+        px = jnp.tile(base[0], (1, powers))
+        py = jnp.tile(base[1], (1, powers))
+        pz = jnp.tile(base[2], (1, powers))
+        sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+        return _fixed_base_kernel(px, py, pz, sc)
+    px = jnp.tile(base[0], (1, SRS_CHUNK))
+    py = jnp.tile(base[1], (1, SRS_CHUNK))
+    pz = jnp.tile(base[2], (1, SRS_CHUNK))
+    outs = []
+    for lo in range(0, powers, SRS_CHUNK):
+        chunk = scalars[lo : lo + SRS_CHUNK]
+        pad = SRS_CHUNK - len(chunk)
+        sc = jnp.asarray(FR_SPEC.pack_raw(chunk + [0] * pad))
+        outs.append(_fixed_base_kernel(px, py, pz, sc))
+    res = tuple(
+        jnp.concatenate([o[k] for o in outs], axis=-1)[:, :powers] for k in range(3)
+    )
+    return res
 
 
 def device_points_to_host(p) -> list:

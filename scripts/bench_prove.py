@@ -60,6 +60,16 @@ def main():
 
     log(f"rounds: {get_metrics().report()}")
 
+    if "--twice" in sys.argv:
+        # second prove in-process: all kernels compiled, SRS tables cached
+        # -> the steady-state per-proof cost (what a proving service pays)
+        get_metrics().reset() if hasattr(get_metrics(), "reset") else None
+        t0 = time.time()
+        proof = prover.prove(witness)
+        prove_dt = time.time() - t0
+        log(f"prove (warm, in-process): {prove_dt:.2f}s")
+        log(f"rounds: {get_metrics().report()}")
+
     t0 = time.time()
     ok = Verifier(setup, program, proof, engine=engine).verify(public)
     log(f"verify: {time.time()-t0:.2f}s ok={ok}")

@@ -34,3 +34,15 @@ def test_prove_with_device_srs():
         witness, blinding=blinding
     )
     assert proof.to_bytes() == proof_h.to_bytes()
+
+
+def test_device_srs_chunked(monkeypatch):
+    """Chunked generation (powers > SRS_CHUNK) must match the host chain."""
+    from baby_plonk_tpu.ops import srs as dsrs
+
+    monkeypatch.setattr(dsrs, "SRS_CHUNK", 8)
+    powers, tau = 21, 13131  # 3 chunks, last one ragged
+    setup_host = Setup.generate_srs(powers, tau, cache=False)
+    dev = dsrs.powers_of_tau_device(powers, tau)
+    pts = dsrs.device_points_to_host(dev)
+    assert pts == setup_host.powers_of_x
