@@ -52,18 +52,20 @@ def _sub(a, b):
 
 
 @jax.jit
-def _coset_ntt_fwd(stacked, gpow, perm_f, tw_f, ninv_f):
-    """Coset scale + forward NTT for a row group (split memory path)."""
-    return ntt_ops.ntt_mont(
-        _mm(stacked, gpow[:, None, :]), False, perm_f, tw_f, ninv_f
-    )
+def _coset_ntt_fwd_row(row, gpow, perm_f, tw_f, ninv_f):
+    """Coset scale + forward NTT for ONE polynomial (split memory path)."""
+    return ntt_ops.ntt_mont(_mm(row, gpow), False, perm_f, tw_f, ninv_f)
 
 
 @jax.jit
-def _round3_combine(E, zh_inv, dpow, beta, gamma, alpha, alpha2, k1, k2):
-    """Pointwise constraint combination + Z_H division on coset evals."""
-    (aE, bE, cE, zE, zwE, s1E, s2E, s3E,
-     qlE, qrE, qmE, qoE, qcE, piE, l1E) = (E[:, i] for i in range(15))
+def _round3_combine_rows(
+    aE, bE, cE, zE, zwE, s1E, s2E, s3E,
+    qlE, qrE, qmE, qoE, qcE, piE, l1E,
+    zh_inv, dpow, beta, gamma, alpha, alpha2, k1, k2,
+):
+    """Pointwise constraint combination + Z_H division on (16, w) eval
+    slices — the split path calls this per position chunk so the ~30 live
+    temporaries stay bounded regardless of the domain size."""
 
     def rlc(x, y):
         return _add(_add(x, _mm(beta, y)), gamma)
@@ -144,7 +146,6 @@ def round3_quotient_device(
     m = 4 * n
     polys = [a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
              ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c]
-    stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
 
     g = fr.GENERATOR
     g_inv = pow(g, Q - 2, Q)
@@ -164,24 +165,31 @@ def round3_quotient_device(
     perm_i, tw_i, ninv_i = (jnp.asarray(x) for x in ntt_ops._plan(m, True))
 
     # memory-capped split path for large domains: the single fused kernel
-    # needs ~4x the 15-row stack live at once; above the budget run the
-    # forward NTTs in row groups, then combine, then one inverse NTT
+    # keeps the whole 15-row stack plus ~30 temporaries live at once
+    # (OOMs the 16 GB chip at 2^20 and crashes the compiler's memory
+    # assignment at 2^16); above the budget run per-row forward NTTs and
+    # chunk the pointwise combine along the position axis
     budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 30)))
-    if stacked.nbytes * 4 > budget:
-        rows_per = max(1, budget // max(m * 16 * 4 * 4, 1))
-        groups = []
-        for lo in range(0, 15, rows_per):
-            groups.append(
-                _coset_ntt_fwd(stacked[:, lo : lo + rows_per], gpow,
-                               perm_f, tw_f, ninv_f)
+    if 15 * m * 16 * 4 * 4 > budget:
+        rows = [
+            _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
+            for p in polys
+        ]
+        scal = (pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2))
+        pchunk = max(8, min(1 << 19, budget // 4096))
+        parts = []
+        for lo in range(0, m, pchunk):
+            hi = min(lo + pchunk, m)
+            parts.append(
+                _round3_combine_rows(
+                    *(r[:, lo:hi] for r in rows),
+                    zh_inv[:, lo:hi], dpow[:, lo:hi], *scal,
+                )
             )
-        E = jnp.concatenate(groups, axis=1)
-        tE = _round3_combine(
-            E, zh_inv, dpow,
-            pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
-        )
+        tE = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         t = _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i)
     else:
+        stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
         t = _round3_kernel(
             n, stacked, gpow, ginvpow, zh_inv, dpow,
             pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
