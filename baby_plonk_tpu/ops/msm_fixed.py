@@ -25,11 +25,10 @@ later proof against the same SRS reuse them.
 """
 from __future__ import annotations
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import g1_vec, limbs
 from .msm import BITS, _combine_partials
@@ -39,10 +38,16 @@ GROUP = 8
 CHUNK = 1 << 14
 
 
+#: table element dtype: uint16 halves HBM footprint and gather traffic
+#: (limbs are canonical 16-bit after batch_normalize); uint32 opt-out for
+#: backends where sub-word gathers regress.
+TABLE_U16 = os.environ.get("BPT_MSM_TABLE_U16", "1") == "1"
+
+
 @jax.jit
 def _build_tables(px, py, pz):
     """(24, m) x3 Montgomery points, m % 8 == 0 ->
-    (24, m/8, 256) x3 subset-sum tables.
+    (24, m/8, 256) x2 affine subset-sum tables.
 
     Table invariant: T[g][idx] = sum over set bits j of idx of P_{8g+j},
     via the write-once recurrence T[idx] = T[idx - msb(idx)] + P_msb.
@@ -50,35 +55,45 @@ def _build_tables(px, py, pz):
     (msb(idx) == b) — ~8x more add-lanes than the minimal doubling-width
     schedule, but ONE compiled padd body (a fori_loop) instead of eight
     differently-shaped graphs, which keeps compile time sane; the build
-    is one-time per SRS chunk."""
+    is one-time per SRS chunk.
+
+    The build works in (24, NB, G) layout so the per-step table gather
+    (jnp.take over the NB axis) fetches CONTIGUOUS length-G rows — the
+    original (24, G, NB) minor-axis gather was ~15x above the build's
+    op-count bound (PERFORMANCE.md); the result is transposed once at the
+    end to the (24, G, NB) layout the MSM inner loop wants."""
     m = px.shape[-1]
     G = m // GROUP
     NB = 1 << GROUP
-    pts = tuple(c.reshape(24, G, GROUP) for c in (px, py, pz))
-    combos = g1_vec.pidentity((G, NB))
+    pts = tuple(
+        jnp.swapaxes(c.reshape(24, G, GROUP), 1, 2) for c in (px, py, pz)
+    )  # (24, GROUP, G)
+    combos = g1_vec.pidentity((NB, G))
     idx = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)[:, 0]  # (256,)
 
     def step(b, combos):
         mask = (idx >> b) == 1  # b is the highest set bit of idx
         partner = idx & ((jnp.int32(1) << b) - 1)  # idx - 2^b where mask
-        gathered = tuple(
-            jnp.take(c, partner, axis=-1) for c in combos
-        )
+        gathered = tuple(jnp.take(c, partner, axis=1) for c in combos)
         pb = tuple(
             jnp.broadcast_to(
-                jax.lax.dynamic_index_in_dim(c, b, axis=2, keepdims=True),
-                (24, G, NB),
+                jax.lax.dynamic_index_in_dim(c, b, axis=1, keepdims=True),
+                (24, NB, G),
             )
             for c in pts
         )
         added = g1_vec.padd(gathered, pb)
-        return g1_vec.pselect(mask, added, combos)
+        return g1_vec.pselect(mask[:, None], added, combos)
 
     combos = jax.lax.fori_loop(0, GROUP, step, combos)
     # normalize to affine: 1/3 less memory and gather traffic, enables the
     # 13-mul mixed add in the MSM loop; identity (only entry 0, barring a
     # vanishing subset sum) becomes the off-curve (0, 0) marker
-    return g1_vec.batch_normalize(combos)
+    tx, ty = g1_vec.batch_normalize(combos)
+    tx, ty = (jnp.swapaxes(t, 1, 2) for t in (tx, ty))
+    if TABLE_U16:
+        tx, ty = tx.astype(jnp.uint16), ty.astype(jnp.uint16)
+    return tx, ty
 
 
 @jax.jit
@@ -99,7 +114,8 @@ def _msm_fixed_kernel(tx, ty, scalars):
         idx = jnp.sum(bits8 << shifts, axis=-1)  # (G,) in [0, 256)
         gidx = idx[None, :, None]
         qx, qy = (
-            jnp.take_along_axis(t, gidx, axis=2)[:, :, 0] for t in (tx, ty)
+            jnp.take_along_axis(t, gidx, axis=2)[:, :, 0].astype(jnp.uint32)
+            for t in (tx, ty)
         )
         acc = g1_vec.pdouble(acc)
         added = g1_vec.padd_mixed(acc, (qx, qy))
