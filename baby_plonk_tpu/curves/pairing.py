@@ -128,8 +128,19 @@ def miller_loop(p: G1, q: G2) -> Fp12:
 
 
 def _cyclotomic_exp_abs_x(f: Fp12) -> Fp12:
-    """f^|x| by square-and-multiply (f in the cyclotomic subgroup)."""
-    return f.pow(BLS_X)
+    """f^|x| by square-and-multiply with Granger-Scott cyclotomic
+    squarings (f is in the cyclotomic subgroup after the easy part).
+    |x| = 2^63 + 2^62 + 2^60 + 2^57 + 2^48 + 2^16 has only 6 set bits,
+    so the cost is ~63 cyclotomic squarings + 5 dense multiplies."""
+    result = None
+    bit = 1 << (BLS_X.bit_length() - 1)
+    while bit:
+        if result is not None:
+            result = result.cyclotomic_square()
+        if BLS_X & bit:
+            result = f if result is None else result * f
+        bit >>= 1
+    return result
 
 
 def final_exponentiation(f: Fp12) -> Fp12:

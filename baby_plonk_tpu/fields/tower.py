@@ -187,7 +187,20 @@ class Fp6:
         return Fp6(c0, c1, c2)
 
     def square(self) -> "Fp6":
-        return self * self
+        # Chung-Hasan SQR2: 3 Fp2 squarings + 2 Fp2 muls (vs 6 muls dense)
+        a0, a1, a2 = self.c0, self.c1, self.c2
+        s0 = a0.square()
+        ab = a0 * a1
+        s1 = ab + ab
+        s2 = (a0 - a1 + a2).square()
+        bc = a1 * a2
+        s3 = bc + bc
+        s4 = a2.square()
+        return Fp6(
+            s3.mul_by_nonresidue() + s0,
+            s4.mul_by_nonresidue() + s1,
+            s1 + s2 + s3 - s0 - s4,
+        )
 
     def mul_by_nonresidue(self) -> "Fp6":
         """Multiply by v: (c0, c1, c2) -> (xi*c2, c0, c1) (fp6.rs:139-151)."""
@@ -237,7 +250,41 @@ class Fp12:
         )
 
     def square(self) -> "Fp12":
-        return self * self
+        # Karatsuba squaring: 2 Fp6 muls (vs 3 for a dense multiply);
+        # (a0 + a1 w)^2 with w^2 = v.
+        a0, a1 = self.c0, self.c1
+        t = a0 * a1
+        c0 = (a0 + a1) * (a0 + a1.mul_by_nonresidue()) - t - t.mul_by_nonresidue()
+        return Fp12(c0, t + t)
+
+    def cyclotomic_square(self) -> "Fp12":
+        """Granger-Scott squaring for elements of the cyclotomic subgroup
+        (f^(p^6+1) = 1, i.e. anything after the easy part of the final
+        exponentiation): 3 Fp4 squarings = 9 Fp2 squarings, ~2x faster
+        than a generic square (counterpart of fp12.rs cyclotomic path via
+        pairings.rs final_exponentiation)."""
+
+        def fp4_square(a: Fp2, b: Fp2):
+            # (a + b t)^2 in Fp4 = Fp2[t]/(t^2 - xi)
+            t0 = a.square()
+            t1 = b.square()
+            return t1.mul_by_nonresidue() + t0, (a + b).square() - t0 - t1
+
+        # coefficients of f = sum z_i w'^i in the Fp2[w']/(w'^6 - xi) view
+        z0, z4, z3 = self.c0.c0, self.c0.c1, self.c0.c2
+        z2, z1, z5 = self.c1.c0, self.c1.c1, self.c1.c2
+
+        t0, t1 = fp4_square(z0, z1)
+        z0 = (t0 - z0) + (t0 - z0) + t0
+        z1 = (t1 + z1) + (t1 + z1) + t1
+        t0, t1 = fp4_square(z2, z3)
+        t2, t3 = fp4_square(z4, z5)
+        z4 = (t0 - z4) + (t0 - z4) + t0
+        z5 = (t1 + z5) + (t1 + z5) + t1
+        t3x = t3.mul_by_nonresidue()
+        z2 = (t3x + z2) + (t3x + z2) + t3x
+        z3 = (t2 - z3) + (t2 - z3) + t2
+        return Fp12(Fp6(z0, z4, z3), Fp6(z2, z1, z5))
 
     def mul_by_014(self, a: Fp2, b: Fp2, c: Fp2) -> "Fp12":
         """Sparse product with Fp12(Fp6(a, b, 0), Fp6(0, c, 0)) — the shape

@@ -112,3 +112,28 @@ def test_multi_miller_loop_consistency():
     a = 12345
     f = multi_miller_loop([(g1 * a, g2), (-g1, g2 * a)])
     assert final_exponentiation(f).is_one()
+
+
+def test_tower_squaring_formulas():
+    """Fp6 CH-SQR2, Fp12 Karatsuba, and Granger-Scott cyclotomic squaring
+    all agree with the dense product."""
+    from baby_plonk_tpu.fields import fq
+    from baby_plonk_tpu.fields.tower import Fp2, Fp6, Fp12
+
+    rng = random.Random(42)
+
+    def rfp2():
+        return Fp2(rng.randrange(fq.P), rng.randrange(fq.P))
+
+    for _ in range(5):
+        a6 = Fp6(rfp2(), rfp2(), rfp2())
+        assert a6.square() == a6 * a6
+        a12 = Fp12(Fp6(rfp2(), rfp2(), rfp2()), Fp6(rfp2(), rfp2(), rfp2()))
+        assert a12.square() == a12 * a12
+
+    # cyclotomic squaring is only valid in the cyclotomic subgroup: use a
+    # pairing output (and its powers) as representative elements
+    f = pairing(G1.generator() * 3, G2.generator() * 11)
+    for e in (1, 2, 5):
+        g = f.pow(e)
+        assert g.cyclotomic_square() == g * g
