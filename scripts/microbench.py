@@ -53,6 +53,9 @@ def main():
     k = rng.randrange(1, R)
 
     # groups.rs:62-101 (G1), :103-142 (G2)
+    bench("g1/is_on_curve", lambda: g1.is_on_curve(), results=out)
+    bench("g1/eq", lambda: g1 == g1b, results=out)
+    bench("g1/to_affine", lambda: g1.to_affine(), results=out)
     bench("g1/add", lambda: g1 + g1b, results=out)
     bench("g1/double", lambda: g1.double(), results=out)
     bench("g1/scalar_mul (wNAF)", lambda: g1 * k, results=out)
@@ -65,11 +68,19 @@ def main():
     bench("g1/batch_normalize x64",
           lambda: G1.batch_normalize([g1] * 64), results=out)
 
+    bench("g1/to_uncompressed", lambda: g1.to_uncompressed(), results=out)
+
+    bench("g2/is_on_curve", lambda: g2.is_on_curve(), results=out)
+    bench("g2/eq", lambda: g2 == g2b, results=out)
+    bench("g2/to_affine", lambda: g2.to_affine(), results=out)
     bench("g2/add", lambda: g2 + g2b, results=out)
     bench("g2/double", lambda: g2.double(), results=out)
     bench("g2/scalar_mul", lambda: g2 * k, results=out)
+    bench("g2/to_compressed", lambda: g2.to_compressed(), results=out)
     c2 = g2.to_compressed()
     bench("g2/from_compressed (incl subgroup)", lambda: G2.from_compressed(c2), results=out)
+    u2 = g2.to_uncompressed()
+    bench("g2/from_uncompressed", lambda: G2.from_uncompressed(u2), results=out)
     bench("g2/is_torsion_free (psi)", lambda: g2.is_torsion_free(), results=out)
 
     # groups.rs:9-60 (pairing stages)
