@@ -103,9 +103,24 @@ def main():
 
     tabs = msm_fixed.FixedBaseTables((px, py, pz))
     t0 = time.time()
-    for ci in range((msm_n + tabs.chunk - 1) // tabs.chunk):
+    sync(tabs._chunk_tables(0))
+    log(f"fixed-base table build, first chunk (incl. executable load): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    nchunks = (msm_n + tabs.chunk - 1) // tabs.chunk
+    for ci in range(1, nchunks):
         sync(tabs._chunk_tables(ci))
-    log(f"fixed-base table build (one-time): {time.time()-t0:.2f}s")
+    if nchunks > 1:
+        log(
+            "fixed-base table build, steady state: "
+            f"{(time.time()-t0)/(nchunks-1):.2f}s/chunk x {nchunks-1}"
+        )
+    else:
+        # time a second build of the same chunk shape for the steady-state
+        # number (executable resident)
+        tabs2 = msm_fixed.FixedBaseTables((px, py, pz))
+        t0 = time.time()
+        sync(tabs2._chunk_tables(0))
+        log(f"fixed-base table build, steady state: {time.time()-t0:.2f}s/chunk")
     t0 = time.time()
     res = tabs.msm(sc)
     sync(res)
