@@ -166,10 +166,12 @@ def round3_quotient_device(
 
     # memory-capped split path for large domains: the single fused kernel
     # keeps the whole 15-row stack plus ~30 temporaries live at once
-    # (OOMs the 16 GB chip at 2^20 and crashes the compiler's memory
-    # assignment at 2^16); above the budget run per-row forward NTTs and
-    # chunk the pointwise combine along the position axis
-    budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 30)))
+    # (OOMs the 16 GB chip at 2^20 and SIGABRTs the remote compiler's
+    # memory assignment at m=2^18, i.e. a 2^16-gate prove); above the
+    # budget run per-row forward NTTs and chunk the pointwise combine
+    # along the position axis. The default keeps the fused kernel only up
+    # to m=2^14 (the largest shape it has compiled cleanly on the chip).
+    budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 27)))
     if 15 * m * 16 * 4 * 4 > budget:
         rows = [
             _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
