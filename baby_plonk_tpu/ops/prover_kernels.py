@@ -52,9 +52,18 @@ def _sub(a, b):
 
 
 @jax.jit
+def _scale_row(row, gpow):
+    return _mm(row, gpow)
+
+
 def _coset_ntt_fwd_row(row, gpow, perm_f, tw_f, ninv_f):
-    """Coset scale + forward NTT for ONE polynomial (split memory path)."""
-    return ntt_ops.ntt_mont(_mm(row, gpow), False, perm_f, tw_f, ninv_f)
+    """Coset scale then forward NTT for ONE polynomial (split memory path).
+
+    Dispatched as TWO executables on purpose: fusing the scale into the
+    NTT graph raises peak liveness enough to trip the remote compiler's
+    alternate-memory assignment CHECK (SIGABRT) at m=2^18, while the
+    plain NTT executable compiles clean up to m=2^20 (bench.py)."""
+    return ntt_ops._ntt_jit(_scale_row(row, gpow), False, perm_f, tw_f, ninv_f)
 
 
 @jax.jit
@@ -87,9 +96,9 @@ def _round3_combine_rows(
     return _mm(allE, zh_inv)
 
 
-@jax.jit
 def _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i):
-    return _mm(ntt_ops.ntt_mont(tE, True, perm_i, tw_i, ninv_i), ginvpow)
+    # two executables, same reason as _coset_ntt_fwd_row
+    return _scale_row(ntt_ops._ntt_jit(tE, True, perm_i, tw_i, ninv_i), ginvpow)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
