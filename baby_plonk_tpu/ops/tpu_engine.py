@@ -71,6 +71,46 @@ def _grand_product_part2(pf, sufg_shift, total_inv):
     return limbs.mont_mul(FR_SPEC, pf, t)
 
 
+@jax.jit
+def _grand_product_full(a, b, c, s1, s2, s3, roots, k1, k2, beta, gamma):
+    """Fully device-resident grand product: ONE executable, no host syncs.
+
+    Returns (z, closing): z the (16, n) Lagrange values with z[0] = 1,
+    and closing = z_n (the full cycle, must equal 1 — prover.rs:319).
+    The single field inversion runs on device (Fermat via mont_pow_fixed)
+    instead of round-tripping the running total through the host."""
+    mul = lambda x, y: limbs.mont_mul(FR_SPEC, x, y)
+
+    def rlc(x, y):
+        return limbs.add_mod(FR_SPEC, limbs.add_mod(FR_SPEC, x, mul(beta, y)), gamma)
+
+    k1r = mul(roots, k1)
+    k2r = mul(roots, k2)
+    f = mul(mul(rlc(a, roots), rlc(b, k1r)), rlc(c, k2r))
+    g = mul(mul(rlc(a, s1), rlc(b, s2)), rlc(c, s3))
+    pf = _scan_mul(f)
+    pg = _scan_mul(g)
+    sufg = jnp.flip(_scan_mul(jnp.flip(g, axis=-1)), axis=-1)
+    total_inv = limbs.mont_pow_fixed(FR_SPEC, pg[:, -1:], Q - 2)
+    one = limbs.const_limbs(FR_SPEC.one_mont, (16, 1))
+    sufg_shift = jnp.concatenate([sufg[:, 1:], one], axis=-1)
+    z_tail = mul(pf, mul(sufg_shift, total_inv))  # z[1..n]
+    z = jnp.concatenate([one, z_tail[:, :-1]], axis=-1)
+    return z, z_tail[:, -1:]
+
+
+_ROOTS_MONT: dict[int, jnp.ndarray] = {}
+
+
+def _roots_mont_cached(n: int):
+    """Montgomery-packed roots of unity {w^i}, packed once per n."""
+    r = _ROOTS_MONT.get(n)
+    if r is None:
+        r = jnp.asarray(FR_SPEC.pack_mont(fr.roots_of_unity(n)))
+        _ROOTS_MONT[n] = r
+    return r
+
+
 class TpuEngine:
     name = "tpu"
 
@@ -221,3 +261,26 @@ class TpuEngine:
         sufg_shift = jnp.concatenate([sufg[:, 1:], one], axis=-1)
         z_tail = _grand_product_part2(pf, sufg_shift, jnp.asarray(pk([total_inv])))
         return [1] + FR_SPEC.unpack_mont(np.asarray(z_tail))
+
+    def grand_product_poly(self, a, b, c, pk, beta, gamma, k1, k2):
+        """Device-resident round-2 fast path: takes the Lagrange DPolys the
+        prover already holds on device, returns (DPoly z, closing) without
+        unpacking n values through Python ints (the list-based
+        ``grand_product`` costs seconds at 2^16 in host packing alone).
+        σ columns and roots are packed once and cached on the pk / engine."""
+        from ..protocol.poly import Basis
+        from .dpoly import DPoly
+
+        n = a.vals.shape[-1]
+        packed = getattr(pk, "_tpu_sigma_lagrange", None)
+        if packed is None or packed[0].shape[-1] != n:
+            packed = tuple(
+                jnp.asarray(FR_SPEC.pack_mont(p.values)) for p in (pk.s1, pk.s2, pk.s3)
+            )
+            pk._tpu_sigma_lagrange = packed
+        roots = _roots_mont_cached(n)
+        sc = lambda v: jnp.asarray(FR_SPEC.pack_mont([v % Q]))
+        z, closing = _grand_product_full(
+            a.vals, b.vals, c.vals, *packed, roots, sc(k1), sc(k2), sc(beta), sc(gamma)
+        )
+        return DPoly(z, Basis.LAGRANGE), closing

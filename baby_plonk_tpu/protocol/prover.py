@@ -178,6 +178,30 @@ class Prover:
     def round_2(self):
         n = self.group_order
         beta, gamma = self.ch.beta, self.ch.gamma
+        from ..config import get_config
+
+        gp_dev = getattr(self.engine, "grand_product_poly", None)
+        if gp_dev is not None:
+            # device-resident fast path: a/b/c stay on device, σ/roots are
+            # cached packed, the single inversion runs on device — no
+            # O(n) host<->device int round trips
+            z_poly, closing = gp_dev(
+                self.a, self.b, self.c, self.pk, beta, gamma, K1, K2
+            )
+            if get_config().debug_asserts:
+                # sanity: full cycle returns to 1 (prover.rs:319)
+                import numpy as _np
+
+                from ..ops.msm import FR_SPEC as _FS
+
+                assert _np.array_equal(
+                    _np.asarray(closing), _FS.pack_mont([1])
+                ), "grand product does not close"
+            b7, b8, b9 = self.blinding[6:9]
+            self.z = z_poly
+            self.z_coeff = self._blind_zh([b9, b8, b7]) + self._intt(self.z)
+            return self._commit(self.z_coeff)
+
         roots = fr.roots_of_unity(n)
         a, b, c = self.a_values, self.b_values, self.c_values
         s1, s2, s3 = self.pk.s1.values, self.pk.s2.values, self.pk.s3.values
@@ -186,8 +210,6 @@ class Prover:
             a, b, c, s1, s2, s3, roots, beta, gamma, K1, K2
         )
         # sanity: full cycle returns to 1 (prover.rs:319)
-        from ..config import get_config
-
         if get_config().debug_asserts:
             assert z_values[-1] == 1, "grand product does not close"
         z_values = z_values[:-1]
