@@ -141,37 +141,64 @@ def _round3_kernel(
     return _mm(t, ginvpow)
 
 
+#: per-m device constants for round 3 (coset powers, 1/Z_H pattern,
+#: domain points, NTT plans) — protocol constants, uploaded once
+_R3_CONSTS: dict[int, tuple] = {}
+
+
+def _round3_consts(m: int):
+    c = _R3_CONSTS.get(m)
+    if c is None:
+        from .dpoly import _pack_scalar, _pow_table
+
+        n = m // 4
+        g = fr.GENERATOR
+        g_inv = pow(g, Q - 2, Q)
+        w = fr.root_of_unity(m)
+        # Z_H(g w^j) = g^n w^(nj) - 1; w^n has order 4
+        w4 = pow(w, n, Q)
+        gn = pow(g, n, Q)
+        zh_vals = [pow((gn * pow(w4, j, Q) - 1) % Q, Q - 2, Q) for j in range(4)]
+        zh_inv = jnp.tile(jnp.asarray(FR_SPEC.pack_mont(zh_vals)), (1, m // 4))
+        gpow = _pow_table(_pack_scalar(g), m)
+        ginvpow = _pow_table(_pack_scalar(g_inv), m)
+        dpow = _mm(_pow_table(_pack_scalar(w), m), _pack_scalar(g))  # g * w^j
+        plan_f = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, False))
+        plan_i = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, True))
+        c = (zh_inv, gpow, ginvpow, dpow, plan_f, plan_i)
+        _R3_CONSTS[m] = c
+    return c
+
+
+@jax.jit
+def _any_nonzero(x):
+    return jnp.any(x != 0)
+
+
 def round3_quotient_device(
     a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
     ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c,
     beta: int, gamma: int, alpha: int, k1: int, k2: int, n: int,
+    pk_cache=None,
 ):
     """Inputs are DPoly (MONOMIAL). Returns the quotient t as a DPoly of
     3n+6 coefficients. Matches the unfused path bit-for-bit (exact field
-    arithmetic throughout)."""
+    arithmetic throughout).
+
+    ``pk_cache``: any object (normally the CommonPreprocessedInput) on
+    which the split path may stash the coset evaluations of the NINE
+    proof-independent rows (s1-s3, ql-qc, L1) — they are fixed per
+    proving key, so steady-state proving runs only 5 forward NTTs
+    (a, b, c, z, PI); zw's row is a circular shift of z's (see below)."""
     from ..protocol.poly import Basis
-    from .dpoly import DPoly, _pad_to, _pack_scalar, _pow_table
+    from .dpoly import DPoly, _pad_to
 
     m = 4 * n
-    polys = [a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
-             ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c]
-
-    g = fr.GENERATOR
-    g_inv = pow(g, Q - 2, Q)
-    w = fr.root_of_unity(m)
-    # Z_H(g w^j) = g^n w^(nj) - 1; w^n has order 4
-    w4 = pow(w, n, Q)
-    gn = pow(g, n, Q)
-    zh_vals = [pow((gn * pow(w4, j, Q) - 1) % Q, Q - 2, Q) for j in range(4)]
-    zh_inv = jnp.tile(jnp.asarray(FR_SPEC.pack_mont(zh_vals)), (1, m // 4))
-
-    gpow = _pow_table(_pack_scalar(g), m)
-    ginvpow = _pow_table(_pack_scalar(g_inv), m)
-    dpow = _mm(_pow_table(_pack_scalar(w), m), _pack_scalar(g))  # g * w^j
+    zh_inv, gpow, ginvpow, dpow, plan_f, plan_i = _round3_consts(m)
+    perm_f, tw_f, ninv_f = plan_f
+    perm_i, tw_i, ninv_i = plan_i
 
     pk = lambda v: jnp.asarray(FR_SPEC.pack_mont([v % Q]))
-    perm_f, tw_f, ninv_f = (jnp.asarray(x) for x in ntt_ops._plan(m, False))
-    perm_i, tw_i, ninv_i = (jnp.asarray(x) for x in ntt_ops._plan(m, True))
 
     # memory-capped split path for large domains: the single fused kernel
     # keeps the whole 15-row stack plus ~30 temporaries live at once
@@ -182,10 +209,27 @@ def round3_quotient_device(
     # to m=2^14 (the largest shape it has compiled cleanly on the chip).
     budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 27)))
     if 15 * m * 16 * 4 * 4 > budget:
-        rows = [
-            _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
-            for p in polys
-        ]
+        def fwd(p):
+            return _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
+
+        fixed = getattr(pk_cache, "_tpu_coset_rows", None) if pk_cache is not None else None
+        if fixed is None or fixed["m"] != m:
+            fixed = {
+                "m": m,
+                "rows": tuple(fwd(p) for p in (s1_c, s2_c, s3_c, ql_c, qr_c,
+                                               qm_c, qo_c, qc_c, l1_c)),
+            }
+            if pk_cache is not None:
+                pk_cache._tpu_coset_rows = fixed
+        (s1E, s2E, s3E, qlE, qrE, qmE, qoE, qcE, l1E) = fixed["rows"]
+        aE, bE, cE, zE, piE = fwd(a_c), fwd(b_c), fwd(c_c), fwd(z_c), fwd(pi_c)
+        # zw(g W^j) = z(ω g W^j) = z(g W^(j + m/n)) since ω = W^(m/n): the
+        # coset evaluations of z(ωx) are a circular left-shift of z's by
+        # m/n = 4 positions (NTT output is in natural domain order), so no
+        # forward NTT of zw_c is needed.
+        zwE = jnp.roll(zE, -(m // n), axis=-1)
+        rows = [aE, bE, cE, zE, zwE, s1E, s2E, s3E,
+                qlE, qrE, qmE, qoE, qcE, piE, l1E]
         scal = (pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2))
         pchunk = max(8, min(1 << 19, budget // 4096))
         parts = []
@@ -200,6 +244,8 @@ def round3_quotient_device(
         tE = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         t = _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i)
     else:
+        polys = [a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
+                 ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c]
         stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
         t = _round3_kernel(
             n, stacked, gpow, ginvpow, zh_inv, dpow,
@@ -210,9 +256,11 @@ def round3_quotient_device(
 
     if get_config().debug_asserts:
         # exact division <=> the interpolant has degree <= 3n+5: the top
-        # coefficients of the 4n-interpolation must vanish
-        top = np.asarray(jax.device_get(t[:, 3 * n + 6 :]))
-        assert not top.any(), "constraint polynomial not divisible by Z_H"
+        # coefficients of the 4n-interpolation must vanish (checked on
+        # device; fetching the slice itself is MBs at large n)
+        assert not bool(
+            jax.device_get(_any_nonzero(t[:, 3 * n + 6 :]))
+        ), "constraint polynomial not divisible by Z_H"
     return DPoly(t[:, : 3 * n + 6], Basis.MONOMIAL)
 
 

@@ -230,10 +230,18 @@ class Prover:
 
         pk = self.pk
         # one batched iNTT for all 8 preprocessed columns (the reference
-        # converts them one by one, prover.rs:374-397)
-        s1_c, s2_c, s3_c, ql_c, qr_c, qm_c, qo_c, qc_c = self.engine.intt_polys(
-            [pk.s1, pk.s2, pk.s3, pk.ql, pk.qr, pk.qm, pk.qo, pk.qc]
-        )
+        # converts them one by one, prover.rs:374-397); fixed per proving
+        # key, so cached there (keyed by engine to keep host/device
+        # representations separate)
+        cache = getattr(pk, "_coeff_cache", None)
+        if cache is None:
+            cache = pk._coeff_cache = {}
+        ekey = getattr(self.engine, "name", "host")
+        if ekey not in cache:
+            cache[ekey] = self.engine.intt_polys(
+                [pk.s1, pk.s2, pk.s3, pk.ql, pk.qr, pk.qm, pk.qo, pk.qc]
+            )
+        s1_c, s2_c, s3_c, ql_c, qr_c, qm_c, qo_c, qc_c = cache[ekey]
         self.s1_coeff, self.s2_coeff, self.s3_coeff = s1_c, s2_c, s3_c
         self.ql_coeff, self.qr_coeff, self.qm_coeff = ql_c, qr_c, qm_c
         self.qo_coeff, self.qc_coeff = qo_c, qc_c
@@ -254,6 +262,7 @@ class Prover:
                 a_c, b_c, c_c, z_c, z_omega_c, s1_c, s2_c, s3_c,
                 ql_c, qr_c, qm_c, qo_c, qc_c, self.pi_coeff, l1_c,
                 beta, gamma, alpha, K1, K2, n,
+                pk_cache=self.pk,
             )
         if t_coeff is None:
             gate = (
