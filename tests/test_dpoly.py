@@ -50,6 +50,7 @@ def test_lagrange_ops():
     )
 
 
+@pytest.mark.slow
 def test_eval_and_scale():
     a = _rand(13)
     z = rng.randrange(Q)

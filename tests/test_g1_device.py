@@ -51,6 +51,7 @@ def test_tree_reduce():
     assert got == want
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [1, 5, 16])
 def test_msm_matches_host(n):
     pts = _rand_points(n)
@@ -61,6 +62,7 @@ def test_msm_matches_host(n):
     assert got == want
 
 
+@pytest.mark.slow
 def test_msm_chunked_path(monkeypatch):
     """Exercise the chunk+combine path used for large n (CHUNK shrunk)."""
     monkeypatch.setattr(msm, "CHUNK", 8)
@@ -92,6 +94,7 @@ def test_padd_mixed_matches_padd():
         assert g1_vec.point_from_device(lane) == pts1[i] + pts2[i]
 
 
+@pytest.mark.slow
 def test_batch_normalize_device():
     from baby_plonk_tpu.fields.fr import Q as R
     from baby_plonk_tpu.ops.g1_vec import FQ_SPEC

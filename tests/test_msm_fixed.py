@@ -22,7 +22,7 @@ def _mk(n):
 @pytest.mark.parametrize(
     "n,chunk",
     [
-        (8, 8),
+        pytest.param(8, 8, marks=pytest.mark.slow),
         pytest.param(16, 16, marks=pytest.mark.slow),
         pytest.param(24, 32, marks=pytest.mark.slow),
         pytest.param(64, 32, marks=pytest.mark.slow),
@@ -36,6 +36,7 @@ def test_msm_fixed_matches_host(n, chunk):
     assert got == msm_host.msm(pts, scalars)
 
 
+@pytest.mark.slow
 def test_msm_fixed_prefix_and_reuse():
     """Commit-shaped use: same tables, different scalar lengths k <= n."""
     n = 40
@@ -65,6 +66,7 @@ def test_msm_fixed_edge_scalars():
         assert got == msm_host.msm(pts, scalars)
 
 
+@pytest.mark.slow
 def test_tables_build_invariant():
     """Spot-check affine table entries: T[g][idx] = sum of the subset;
     the identity entry is the (0, 0) marker."""

@@ -13,6 +13,7 @@ from baby_plonk_tpu.ops.msm import FR_SPEC
 rng = random.Random(2718)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,c", [(8, 4), (32, 8)])
 def test_pippenger_matches_host(n, c):
     pts = [G1.generator() * rng.randrange(1, fr.Q) for _ in range(n)]
@@ -26,6 +27,7 @@ def test_pippenger_matches_host(n, c):
     assert got == msm_host.msm(pts, scalars)
 
 
+@pytest.mark.slow
 def test_pippenger_duplicate_digits():
     """Many equal digits -> long segment runs."""
     n = 16

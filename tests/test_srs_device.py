@@ -11,6 +11,7 @@ from baby_plonk_tpu.protocol.setup import Setup
 from baby_plonk_tpu.protocol.verifier import Verifier
 
 
+@pytest.mark.slow
 def test_device_srs_matches_host_chain():
     powers, tau = 12, 54321
     setup_host = Setup.generate_srs(powers, tau, cache=False)

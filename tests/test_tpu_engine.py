@@ -14,6 +14,7 @@ from baby_plonk_tpu.protocol.verifier import Verifier
 rng = random.Random(31337)
 
 
+@pytest.mark.slow
 def test_grand_product_matches_host():
     n = 16
     roots = fr.roots_of_unity(n)
@@ -43,6 +44,7 @@ def test_proof_bytes_identical_across_engines():
     assert Verifier(setup, program, p_tpu).verify([80])
 
 
+@pytest.mark.slow
 def test_round3_split_memory_path_byte_identical(monkeypatch):
     """The memory-capped round-3 path (grouped forward NTTs + separate
     combine/iNTT kernels) must produce the same proof as the fused kernel."""
