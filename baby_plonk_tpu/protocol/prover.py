@@ -63,13 +63,19 @@ class Prover:
 
     def _intt(self, p):
         assert p.basis == Basis.LAGRANGE
-        return self.engine.intt_poly(p)
+        from ..utils.metrics import get_metrics
+
+        with get_metrics().span("prover.intt"):
+            return self.engine.intt_poly(p)
 
     def _poly(self, values, basis):
         return self.engine.poly(values, basis)
 
     def _commit(self, p: Poly) -> G1:
-        return self.engine.commit(self.setup, p)
+        from ..utils.metrics import get_metrics
+
+        with get_metrics().span("prover.commit"):
+            return self.engine.commit(self.setup, p)
 
     def prove(
         self,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import sys
 import time
 from collections import defaultdict
 
@@ -20,11 +21,17 @@ class Metrics:
 
     @contextlib.contextmanager
     def span(self, name: str):
+        trace = os.environ.get("BPT_TRACE_SPANS")
+        if trace:
+            print(f"[span] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            self.durations[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.durations[name] += dt
+            if trace:
+                print(f"[span] {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
     def count(self, name: str, inc: int = 1):
         self.counters[name] += inc
