@@ -27,11 +27,55 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_PROBE = """
+from baby_plonk_tpu.utils import jaxcache
+jaxcache.enable()
+import jax, jax.numpy as jnp
+import numpy as np
+np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros((8,), jnp.uint32))[:1])
+"""
+
+
+def tpu_alive(timeout_s: float) -> bool:
+    """Probe the (possibly tunneled) default backend in a subprocess.
+
+    The axon tunnel can wedge server-side: device enumeration works but any
+    executable launch hangs forever.  A hung bench run is worse than a CPU
+    fallback, so probe with a hard timeout before committing to the device.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE],
+            timeout=timeout_s,
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from baby_plonk_tpu.utils import jaxcache
 
     jaxcache.enable()
+
+    fallback = False
+    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",):
+        probe_s = float(os.environ.get("BPT_BENCH_PROBE_TIMEOUT", "180"))
+        if not tpu_alive(probe_s):
+            log(
+                f"WARNING: device backend unresponsive after {probe_s:.0f}s probe; "
+                "falling back to CPU — numbers below are NOT TPU numbers"
+            )
+            fallback = True
+
     import jax
+
+    if fallback:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from baby_plonk_tpu.curves import msm_host
@@ -59,9 +103,14 @@ def main():
         lat = min(lat, time.time() - t0)
     log(f"sync latency: {lat*1e3:.1f} ms")
 
-    msm_n = 1 << int(os.environ.get("BPT_BENCH_MSM_LOG2", "14"))
-    ntt_n = 1 << int(os.environ.get("BPT_BENCH_NTT_LOG2", "16"))
-    host_n = 1 << int(os.environ.get("BPT_BENCH_HOST_LOG2", "10"))
+    # CPU fallback exists only to keep the metric line alive when the device
+    # tunnel is wedged: shrink everything and skip the heavyweight fixed-base
+    # table build (its CPU compile alone takes minutes).
+    dflt_msm, dflt_ntt, dflt_host = ("10", "12", "8") if fallback else ("14", "16", "10")
+    msm_n = 1 << int(os.environ.get("BPT_BENCH_MSM_LOG2", dflt_msm))
+    ntt_n = 1 << int(os.environ.get("BPT_BENCH_NTT_LOG2", dflt_ntt))
+    host_n = 1 << int(os.environ.get("BPT_BENCH_HOST_LOG2", dflt_host))
+    host_n = min(host_n, msm_n)
 
     rng = np.random.default_rng(42)
 
@@ -97,39 +146,46 @@ def main():
     sc_ints = [int.from_bytes(rng.bytes(31), "little") % fr.Q for _ in range(msm_n)]
     sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
 
-    # fixed-base combo-table MSM (the commit path): tables are per-SRS
-    # precompute, built once and cached — timed separately
-    from baby_plonk_tpu.ops import msm_fixed
-
-    tabs = msm_fixed.FixedBaseTables((px, py, pz))
-    t0 = time.time()
-    sync(tabs._chunk_tables(0))
-    log(f"fixed-base table build, first chunk (incl. executable load): {time.time()-t0:.2f}s")
-    t0 = time.time()
-    nchunks = (msm_n + tabs.chunk - 1) // tabs.chunk
-    for ci in range(1, nchunks):
-        sync(tabs._chunk_tables(ci))
-    if nchunks > 1:
-        log(
-            "fixed-base table build, steady state: "
-            f"{(time.time()-t0)/(nchunks-1):.2f}s/chunk x {nchunks-1}"
-        )
+    if fallback:
+        # bit-serial kernel: cheap to compile, good enough to prove liveness
+        run_msm = lambda s: msm_ops._msm_kernel(px, py, pz, s)  # noqa: E731
     else:
-        # time a second build of the same chunk shape for the steady-state
-        # number (executable resident)
-        tabs2 = msm_fixed.FixedBaseTables((px, py, pz))
+        # fixed-base combo-table MSM (the commit path): tables are per-SRS
+        # precompute, built once and cached — timed separately
+        from baby_plonk_tpu.ops import msm_fixed
+
+        tabs = msm_fixed.FixedBaseTables((px, py, pz))
         t0 = time.time()
-        sync(tabs2._chunk_tables(0))
-        log(f"fixed-base table build, steady state: {time.time()-t0:.2f}s/chunk")
+        sync(tabs._chunk_tables(0))
+        log(
+            f"fixed-base table build, first chunk (incl. executable load): {time.time()-t0:.2f}s"
+        )
+        t0 = time.time()
+        nchunks = (msm_n + tabs.chunk - 1) // tabs.chunk
+        for ci in range(1, nchunks):
+            sync(tabs._chunk_tables(ci))
+        if nchunks > 1:
+            log(
+                "fixed-base table build, steady state: "
+                f"{(time.time()-t0)/(nchunks-1):.2f}s/chunk x {nchunks-1}"
+            )
+        else:
+            # time a second build of the same chunk shape for the steady-state
+            # number (executable resident)
+            tabs2 = msm_fixed.FixedBaseTables((px, py, pz))
+            t0 = time.time()
+            sync(tabs2._chunk_tables(0))
+            log(f"fixed-base table build, steady state: {time.time()-t0:.2f}s/chunk")
+        run_msm = tabs.msm
     t0 = time.time()
-    res = tabs.msm(sc)
+    res = run_msm(sc)
     sync(res)
     log(f"msm compile+run: {time.time()-t0:.2f}s")
     iters = int(os.environ.get("BPT_BENCH_ITERS", "3"))
     msm_dt = 1e30
     for _ in range(iters):
         t0 = time.time()
-        res = tabs.msm(sc)
+        res = run_msm(sc)
         sync(res)
         msm_dt = min(msm_dt, max(time.time() - t0 - lat, 1e-9))
     msm_rate = msm_n / msm_dt
@@ -160,7 +216,7 @@ def main():
     sc_zeroed = jnp.asarray(
         msm_ops.FR_SPEC.pack_raw(sc_ints[:host_n] + [0] * (msm_n - host_n))
     )
-    outp = tabs.msm(sc_zeroed)
+    outp = run_msm(sc_zeroed)
     got = g1_vec.point_from_device(outp)
     assert got == want, "device MSM disagrees with host oracle"
     log("device/host MSM agreement: OK")
