@@ -97,6 +97,15 @@ def main():
               pr.multi_miller_loop([(g1, prep), (g1b, prep)])
           ), results=out)
 
+    # benches/hash_to_curve.rs:10-64 (encode/hash to G1/G2, XMD SHA-256)
+    from baby_plonk_tpu.curves import hash_to_curve as h2c
+
+    msg, dst = b"test message", b"test DST"
+    bench("h2c/encode_to_g1 SSWU SHA-256", lambda: h2c.encode_to_g1(msg, dst), results=out)
+    bench("h2c/hash_to_g1 SSWU SHA-256", lambda: h2c.hash_to_g1(msg, dst), results=out)
+    bench("h2c/encode_to_g2 SSWU SHA-256", lambda: h2c.encode_to_g2(msg, dst), results=out)
+    bench("h2c/hash_to_g2 SSWU SHA-256", lambda: h2c.hash_to_g2(msg, dst), results=out)
+
     if "--json" in sys.argv:
         print(json.dumps({k: v for k, v in out.items()}))
 
