@@ -1,9 +1,11 @@
 """Compute-engine interface: the prover's hot paths behind one contract.
 
-Two implementations:
+Three implementations:
   * HostEngine — exact Python-int oracle (this module);
   * TpuEngine  — JAX/Pallas kernels (baby_plonk_tpu.ops.tpu_engine),
-    validated against HostEngine.
+    validated against HostEngine;
+  * MeshEngine — TpuEngine sharded over a device mesh
+    (baby_plonk_tpu.parallel.mesh_engine), byte-identical proofs.
 
 Contract (all Fr values are canonical Python ints on the boundary):
   intt(values)                          Lagrange -> monomial coefficients
@@ -104,7 +106,7 @@ _default_engine: object | None = None
 
 
 def get_default_engine():
-    """Host engine unless BPT_ENGINE=tpu selects the JAX engine."""
+    """Host engine unless BPT_ENGINE selects "tpu" or "mesh"."""
     global _default_engine
     if _default_engine is None:
         from ..config import get_config
@@ -113,6 +115,10 @@ def get_default_engine():
             from .tpu_engine import TpuEngine
 
             _default_engine = TpuEngine()
+        elif get_config().engine == "mesh":
+            from ..parallel.mesh_engine import MeshEngine
+
+            _default_engine = MeshEngine()
         else:
             _default_engine = HostEngine()
     return _default_engine
