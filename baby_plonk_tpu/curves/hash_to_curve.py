@@ -66,10 +66,12 @@ def expand_message_xof(
 ) -> bytes:
     """expand_message_xof (RFC 9380 5.4.2; expand_msg.rs:120-176)."""
     if len(dst) > 255:
-        # security parameter k = 128 bits -> 32-byte replacement DST
+        # replacement DST is ceil(2k/8) bytes of the XOF (RFC 9380 5.3.3):
+        # 32 for shake_128 (k = 128), 64 for shake_256 (k = 256)
+        k_bytes = {"shake_128": 32, "shake_256": 64}[xof_name]
         x = hashlib.new(xof_name)
         x.update(_OVERSIZE_PREFIX + dst)
-        dst = x.digest(32)
+        dst = x.digest(k_bytes)
     dst_prime = dst + bytes([len(dst)])
     x = hashlib.new(xof_name)
     x.update(msg + len_in_bytes.to_bytes(2, "big") + dst_prime)
@@ -133,6 +135,9 @@ class _FqOps:
         return a & 1
 
 
+_FqOps.C1 = _FqOps.mul(_FqOps.neg(_FqOps.B), _FqOps.inv0(_FqOps.A))  # -B/A
+
+
 class _Fq2Ops:
     A = Fp2(*D.SSWU_A2)
     B = Fp2(*D.SSWU_B2)
@@ -152,12 +157,21 @@ class _Fq2Ops:
         return (a.c0 & 1) if a.c0 != 0 else (a.c1 & 1)
 
 
+_Fq2Ops.C1 = -_Fq2Ops.B * _Fq2Ops.A.inv()  # -B/A
+
+#: 3-isogeny coefficient lists lifted to Fp2 once (not per map call)
+_ISO3_FP2 = tuple(
+    [Fp2(a, b) for a, b in coeffs]
+    for coeffs in (D.ISO3_XNUM, D.ISO3_XDEN, D.ISO3_YNUM, D.ISO3_YDEN)
+)
+
+
 def _sswu(F, u):
     """(x, y) on the isogenous curve E': y^2 = x^3 + A x + B (RFC F.2)."""
     tv1 = F.mul(F.Z, F.sq(u))  # Z u^2
     tv2 = F.sq(tv1)  # Z^2 u^4
     s = F.add(tv1, tv2)
-    c1 = F.mul(F.neg(F.B), F.inv0(F.A))  # -B / A
+    c1 = F.C1  # -B / A, precomputed per curve
     if F.is_zero(s):
         x1 = F.mul(c1, F.neg(F.inv0(F.Z)))  # B / (Z A)
     else:
@@ -212,12 +226,8 @@ def map_to_curve_g1(u: int) -> G1:
 
 def map_to_curve_g2(u: Fp2) -> G2:
     """Fp2 element -> point on E2 (NOT yet in the subgroup); map_g2.rs:494-497."""
-    iso = [
-        [Fp2(a, b) for a, b in coeffs]
-        for coeffs in (D.ISO3_XNUM, D.ISO3_XDEN, D.ISO3_YNUM, D.ISO3_YDEN)
-    ]
     x, y = _sswu(_Fq2Ops, u)
-    aff = _iso_map(_Fq2Ops, x, y, *iso)
+    aff = _iso_map(_Fq2Ops, x, y, *_ISO3_FP2)
     if aff is None:
         return G2.identity()
     return G2.from_affine(*aff)

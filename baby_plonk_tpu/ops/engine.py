@@ -116,9 +116,10 @@ def get_default_engine():
 
             _default_engine = TpuEngine()
         elif get_config().engine == "mesh":
+            from ..parallel.mesh import make_mesh
             from ..parallel.mesh_engine import MeshEngine
 
-            _default_engine = MeshEngine()
+            _default_engine = MeshEngine(make_mesh(get_config().mesh_devices))
         else:
             _default_engine = HostEngine()
     return _default_engine

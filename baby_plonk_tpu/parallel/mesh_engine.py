@@ -68,6 +68,7 @@ class MeshEngine(TpuEngine):
         self._shard = NamedSharding(self.mesh, P(None, AXIS))
         self._perms: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._r3_cyc: dict[int, tuple] = {}
+        self._roots: dict[int, jnp.ndarray] = {}
 
     # -- layout helpers -------------------------------------------------------
 
@@ -87,6 +88,15 @@ class MeshEngine(TpuEngine):
             pair = (jnp.asarray(nat_of_gath), jnp.asarray(to_natural))
             self._perms[n] = pair
         return pair
+
+    def _roots_placed(self, n: int):
+        """{w^i} Montgomery-packed and block-sharded, cached per n (the
+        host packing alone costs seconds at 2^16 — cf. _roots_mont_cached)."""
+        r = self._roots.get(n)
+        if r is None:
+            r = self._place(jnp.asarray(FR_SPEC.pack_mont(fr.roots_of_unity(n))))
+            self._roots[n] = r
+        return r
 
     def _place(self, x):
         """Block-shard the last axis over the mesh."""
@@ -150,6 +160,8 @@ class MeshEngine(TpuEngine):
         columns repeat the generator (any valid point — their scalars are
         always zero, and the bit-serial kernel never selects them)."""
         cached = getattr(setup, "_mesh_srs_cache", None)
+        if cached is not None and cached[0] is not self.mesh:
+            cached = None  # built for a different mesh — rebuild
         if cached is None:
             if setup._tpu_cache is None:
                 setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
@@ -164,9 +176,9 @@ class MeshEngine(TpuEngine):
                     [a, jnp.tile(a[:, :1], (1, N - n))], axis=-1
                 )
                 px, py, pz = pad(px), pad(py), pad(pz)
-            cached = (self._place(px), self._place(py), self._place(pz), N)
+            cached = (self.mesh, self._place(px), self._place(py), self._place(pz), N)
             setup._mesh_srs_cache = cached
-        return cached
+        return cached[1:]
 
     def _commit_arrays(self, setup, scalars_raw):
         px, py, pz, N = self._mesh_srs(setup)
@@ -195,14 +207,15 @@ class MeshEngine(TpuEngine):
         n = a.vals.shape[-1]
         if n % self.D:
             return super().grand_product_poly(a, b, c, pk, beta, gamma, k1, k2)
-        packed = getattr(pk, "_mesh_sigma_lagrange", None)
-        if packed is None or packed[0].shape[-1] != n:
+        cached = getattr(pk, "_mesh_sigma_lagrange", None)
+        if cached is None or cached[0] is not self.mesh or cached[1][0].shape[-1] != n:
             packed = tuple(
                 self._place(jnp.asarray(FR_SPEC.pack_mont(p.values)))
                 for p in (pk.s1, pk.s2, pk.s3)
             )
-            pk._mesh_sigma_lagrange = packed
-        roots = self._place(jnp.asarray(FR_SPEC.pack_mont(fr.roots_of_unity(n))))
+            pk._mesh_sigma_lagrange = cached = (self.mesh, packed)
+        packed = cached[1]
+        roots = self._roots_placed(n)
         sc = lambda v: jnp.asarray(FR_SPEC.pack_mont([v % Q]))
         k1r = _mm(roots, sc(k1))
         k2r = _mm(roots, sc(k2))
@@ -253,8 +266,15 @@ class MeshEngine(TpuEngine):
             _round3_combine_rows,
         )
 
+        from ..ops.dpoly import DPoly as _DP
+
         m = 4 * n
-        if not self._can_shard(m):
+        all_dev = all(
+            isinstance(p, _DP)
+            for p in (a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
+                      ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c)
+        )
+        if not all_dev or not self._can_shard(m):
             return super().round3_quotient(
                 a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
                 ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c,

@@ -58,12 +58,8 @@ def tpu_alive(timeout_s: float) -> bool:
 
 
 def main():
-    from baby_plonk_tpu.utils import jaxcache
-
-    jaxcache.enable()
-
-    fallback = False
-    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",):
+    fallback = bool(os.environ.get("BPT_BENCH_FALLBACK"))
+    if not fallback and os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",):
         probe_s = float(os.environ.get("BPT_BENCH_PROBE_TIMEOUT", "180"))
         if not tpu_alive(probe_s):
             log(
@@ -72,9 +68,24 @@ def main():
             )
             fallback = True
 
+    from baby_plonk_tpu.utils import jaxcache
+
+    jaxcache.enable()
     import jax
 
-    if fallback:
+    if fallback and not os.environ.get("BPT_BENCH_FALLBACK"):
+        # flip the platform in-process (the axon sitecustomize registers its
+        # backend at interpreter start and overrides JAX_PLATFORMS, so env
+        # alone does not stick — but no device has been touched yet, so the
+        # config update is accepted). If a backend IS somehow live already,
+        # re-exec once with a marker env as a last resort.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["BPT_BENCH_FALLBACK"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+    elif os.environ.get("BPT_BENCH_FALLBACK"):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 

@@ -19,7 +19,10 @@ step() { # name timeout_s command...
   fi
 }
 
-step probe       180  python scripts/probe_tpu.py || exit 1
+step probe       180  python scripts/probe_tpu.py
+# step() never fails the script (it records per-step status); the probe is
+# the exception — a dead tunnel must abort before the long bench steps
+[ -f "$OUT/probe.ok" ] || { echo "tunnel dead — aborting campaign"; exit 1; }
 
 # headline MSM/NTT at increasing scale (bench.py prints the JSON metric line)
 step bench_14    1800 python bench.py
