@@ -97,6 +97,27 @@ def main():
               pr.multi_miller_loop([(g1, prep), (g1b, prep)])
           ), results=out)
 
+    # steady-state verify (deserialize + cached-init Verifier + verify):
+    # the full wire-to-verdict path a proving service pays per proof
+    from baby_plonk_tpu import circuits
+    from baby_plonk_tpu.protocol.program import Program
+    from baby_plonk_tpu.protocol.proof import Proof
+    from baby_plonk_tpu.protocol.prover import Prover
+    from baby_plonk_tpu.protocol.setup import Setup
+    from baby_plonk_tpu.protocol.verifier import Verifier
+
+    n = 256
+    constraints, witness, public = circuits.mul_chain(n)
+    setup = Setup.generate_srs(n + 6, tau=777, cache=False)
+    program = Program.from_strs(constraints, n)
+    wire = Prover(setup, program).prove(witness).to_bytes()
+    Verifier(setup, program, Proof.from_bytes(wire)).verify(public)  # warm caches
+    bench(
+        "verify/steady-state wire-to-verdict (n=256)",
+        lambda: Verifier(setup, program, Proof.from_bytes(wire)).verify(public),
+        results=out,
+    )
+
     # benches/hash_to_curve.rs:10-64 (encode/hash to G1/G2, XMD SHA-256)
     from baby_plonk_tpu.curves import hash_to_curve as h2c
 
