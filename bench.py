@@ -68,6 +68,10 @@ def main():
             )
             fallback = True
 
+    if fallback:
+        # ensure the CPU-suffixed cache dir is selected (see utils/jaxcache)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     from baby_plonk_tpu.utils import jaxcache
 
     jaxcache.enable()
