@@ -75,6 +75,62 @@ def _local_fourstep(a, inverse, D, m, n, tw_full, plan_D, plan_m):
     return a  # device d holds X[k2*D + d], k2 = 0..m-1
 
 
+def _local_fourstep_dual(a, D, m, n, tw_full_inv, plan_D_inv, plan_m_inv):
+    """shard_map body: the forward chain run backwards — consumes the
+    CYCLIC layout the forward transform emits (device d holds X[k2*D+d])
+    and returns the inverse transform in natural block-sharded order.
+
+    Paired with the forward `_local_fourstep` this gives reorder-free
+    convolution (DIF-forward / DIT-inverse pairing): the pointwise stage
+    in between runs directly on cyclic data and no global permute is ever
+    materialized. The 1/D and 1/m scalings of the inverse sub-plans
+    compose to the 1/n total."""
+    d = jax.lax.axis_index(AXIS)
+    mD = m // D
+    pos = a.ndim - 1
+    # undo step 4: local m-point inverse NTT over k2 -> i2 natural
+    a = ntt_ops.ntt_mont(a, True, *plan_m_inv)
+    # undo transpose 2: send i2-chunk j to device j (transpose (d, j))
+    a = a.reshape(a.shape[:-1] + (D, mD))
+    a = jax.lax.all_to_all(a, AXIS, split_axis=a.ndim - 2, concat_axis=a.ndim - 2, tiled=True)
+    # device d now holds [k1, c] with i2 = d*mD + c — undo the twiddle
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (D, mD), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, mD), 1)
+    i2 = d.astype(jnp.int32) * mD + c
+    exp = (i2 * k1) % n
+    w = jnp.take(tw_full_inv, exp.reshape(-1), axis=-1).reshape(16, D, mD)
+    w = w.reshape((16,) + (1,) * (a.ndim - 3) + (D, mD))
+    a = limbs.mont_mul(FR_SPEC, a, w)
+    # undo step 1: D-point inverse NTT over k1 -> i1
+    a = jnp.swapaxes(a, -1, -2)
+    a = ntt_ops.ntt_mont(a, True, *plan_D_inv)
+    a = jnp.swapaxes(a, -1, -2)  # (..., i1, c)
+    # undo transpose 1: chunk i1 back to device i1
+    a = a.reshape(a.shape[:-2] + (m,))
+    a = jax.lax.all_to_all(a, AXIS, split_axis=pos, concat_axis=pos, tiled=True)
+    return a  # natural block-sharded x[i1*m + i2]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _dntt_dual_jit(a, mesh):
+    """Inverse transform of `_dntt_jit(..., inverse=False, ...)` that takes
+    the cyclic layout directly and emits natural block order."""
+    n = a.shape[-1]
+    D = mesh.devices.size
+    m = n // D
+    tw_inv = jnp.asarray(_dplan(n, D, True))
+    plan_D = tuple(jnp.asarray(t) for t in ntt_ops._plan(D, True))
+    plan_m = tuple(jnp.asarray(t) for t in ntt_ops._plan(m, True))
+    body = functools.partial(
+        _local_fourstep_dual,
+        D=D, m=m, n=n,
+        tw_full_inv=tw_inv, plan_D_inv=plan_D, plan_m_inv=plan_m,
+    )
+    spec = P(*([None] * (a.ndim - 1) + [AXIS]))
+    fn = jax.shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
+    return fn(a)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _dntt_jit(a, inverse: bool, mesh):
     n = a.shape[-1]

@@ -24,8 +24,10 @@ the bit-serial MSM accumulator, so SRS padding points are never selected).
 The four-step NTT emits *cyclic* order (coefficient k2*D + k1 at gathered
 position k1*m + k2); round 3 keeps the pointwise combination in cyclic
 order (permuting the Z_H / domain-point tables once per size instead of
-the data) and pays two global permutes per quotient, at the cyclic->natural
-seams around the inverse transform.  The fused single-executable round 3
+the data) and inverts through the dual four-step (dntt._dntt_dual_jit),
+which consumes the cyclic layout directly — the classic DIF-forward /
+DIT-inverse pairing, so no global data permute exists anywhere in the
+quotient pipeline.  The fused single-executable round 3
 and the fixed-base commit tables remain the single-chip fast path
 (ops/prover_kernels.py, ops/msm_fixed.py); sharding those tables is the
 noted next step, not a correctness gap.
@@ -292,13 +294,9 @@ class MeshEngine(TpuEngine):
             zh_inv_cyc, dpow_cyc,
             pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),
         )
-        # cyclic -> natural seam around the inverse transform
-        _, to_natural = self._perm_pair(m)
-        t = _mm(
-            _permute_last(dntt._dntt_jit(_permute_last(tE, to_natural), True, self.mesh),
-                          to_natural),
-            ginvpow,
-        )
+        # dual four-step inverse: consumes the cyclic layout directly and
+        # emits natural block order — no global permute (DIF/DIT pairing)
+        t = _mm(dntt._dntt_dual_jit(tE, self.mesh), ginvpow)
         if get_config().debug_asserts:
             assert not bool(
                 jax.device_get(_any_nonzero(t[:, 3 * n + 6 :]))

@@ -3,13 +3,36 @@
 Runs on the virtual CPU mesh (tests/conftest.py forces 8 CPU devices);
 the collectives exercised (all_to_all NTT stage exchange, all_gather MSM
 partials, cross-shard scans) are the same graph that rides ICI on real
-hardware."""
+hardware.
+
+The two full-prove tests run in SUBPROCESSES: compiling several of the
+large 8-device SPMD executables inside the long-lived pytest process
+segfaults jaxlib 0.9.0's XLA:CPU compile/serialize path
+nondeterministically, while the identical pipeline in a fresh process is
+stable (same profile as __graft_entry__.dryrun_multichip, 3/3 clean runs).
+"""
+import os
 import random
+import subprocess
+import sys
 
 import pytest
 
-from baby_plonk_tpu import circuits
 from baby_plonk_tpu.fields import fr
+from baby_plonk_tpu.ops.engine import HostEngine
+from baby_plonk_tpu.parallel.mesh import make_mesh
+from baby_plonk_tpu.parallel.mesh_engine import MeshEngine
+from baby_plonk_tpu.protocol.setup import Setup
+
+rng = random.Random(777)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROVE_SNIPPET = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+from baby_plonk_tpu import circuits
 from baby_plonk_tpu.ops.engine import HostEngine
 from baby_plonk_tpu.parallel.mesh import make_mesh
 from baby_plonk_tpu.parallel.mesh_engine import MeshEngine
@@ -18,7 +41,33 @@ from baby_plonk_tpu.protocol.prover import Prover
 from baby_plonk_tpu.protocol.setup import Setup
 from baby_plonk_tpu.protocol.verifier import Verifier
 
-rng = random.Random(777)
+n = {n}
+constraints, witness, public = circuits.mul_chain(n)
+setup = Setup.generate_srs(n + 6, tau={tau}, cache=False)
+program = Program.from_strs(constraints, n)
+blinding = list(range(1, 12))
+p_host = Prover(setup, program, engine=HostEngine()).prove(witness, blinding=blinding)
+p_mesh = Prover(
+    setup, program, engine=MeshEngine(make_mesh(8))
+).prove(witness, blinding=blinding)
+assert p_host.to_bytes() == p_mesh.to_bytes(), "proof bytes differ"
+assert Verifier(setup, program, p_mesh).verify(public)
+print("MESH_PROVE_OK")
+"""
+
+
+def _run_mesh_prove(n: int, tau: int):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("BPT_ENGINE", None)
+    r = subprocess.run(
+        [sys.executable, "-c", _PROVE_SNIPPET.format(n=n, tau=tau)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, f"rc={r.returncode}\n{r.stderr[-3000:]}"
+    assert "MESH_PROVE_OK" in r.stdout
 
 
 @pytest.fixture(scope="module")
@@ -27,21 +76,10 @@ def engine():
 
 
 @pytest.mark.slow
-def test_mesh_prove_byte_identical(engine):
+def test_mesh_prove_byte_identical():
     """n=128: every heavy path shards (n/D=16, round-3 domain 512/D=64);
     proof bytes must equal the host oracle's under fixed blinding."""
-    n = 128
-    constraints, witness, public = circuits.mul_chain(n)
-    setup = Setup.generate_srs(n + 6, tau=4242, cache=False)
-    program = Program.from_strs(constraints, n)
-    blinding = list(range(1, 12))
-
-    p_host = Prover(setup, program, engine=HostEngine()).prove(
-        witness, blinding=blinding
-    )
-    p_mesh = Prover(setup, program, engine=engine).prove(witness, blinding=blinding)
-    assert p_host.to_bytes() == p_mesh.to_bytes()
-    assert Verifier(setup, program, p_mesh).verify(public)
+    _run_mesh_prove(128, 4242)
 
 
 @pytest.mark.slow
@@ -77,16 +115,8 @@ def test_mesh_intt_poly_natural_order(engine):
 
 
 @pytest.mark.slow
-def test_mesh_fallback_small_shapes(engine):
-    """Shapes below the shardability bound fall back to single-device
-    kernels; the proof must still be byte-identical."""
-    n = 8
-    setup = Setup.generate_srs(n + 6, tau=101, cache=False)
-    program = Program.from_strs(["e public", "c <== a * b + b", "e <== c * d"], n)
-    witness = {"a": 3, "b": 4, "c": 16, "d": 5, "e": 80}
-    blinding = list(range(1, 12))
-    p_host = Prover(setup, program, engine=HostEngine()).prove(
-        witness, blinding=blinding
-    )
-    p_mesh = Prover(setup, program, engine=engine).prove(witness, blinding=blinding)
-    assert p_host.to_bytes() == p_mesh.to_bytes()
+def test_mesh_fallback_small_shapes():
+    """n=8 sits below the four-step shardability bound for the NTTs (m < D)
+    but the commit/grand-product paths still shard; the proof must be
+    byte-identical either way."""
+    _run_mesh_prove(8, 101)

@@ -20,6 +20,16 @@ from baby_plonk_tpu.protocol import poly as hostpoly
 rng = random.Random(4242)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """See tests/test_mesh_engine.py: serializing large 8-device SPMD
+    executables can crash jaxlib's CPU AOT path; compile cold here."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8
@@ -38,6 +48,21 @@ def test_dntt_inverse_matches_host(mesh):
     vals = [rng.randrange(fr.Q) for _ in range(n)]
     got = dntt.ntt_ints_sharded(vals, mesh, inverse=True)
     assert got == hostpoly.i_ntt(vals)
+
+
+def test_dntt_dual_inverse_roundtrip(mesh):
+    """The dual four-step (cyclic-in, natural-out) must invert the forward
+    transform exactly — the reorder-free convolution pairing round 3 uses."""
+    n = 256
+    vals = [rng.randrange(fr.Q) for _ in range(n)]
+    a = jnp.asarray(FR_SPEC.pack_mont(vals))
+    fwd = dntt._dntt_jit(a, False, mesh)  # cyclic order
+    back = dntt._dntt_dual_jit(fwd, mesh)  # natural order
+    assert FR_SPEC.unpack_mont(np.asarray(jax.device_get(back))) == vals
+    # batched leading dim (the (16, k, m) shape round 3 streams)
+    a3 = jnp.stack([a, a], axis=1)
+    back3 = dntt._dntt_dual_jit(dntt._dntt_jit(a3, False, mesh), mesh)
+    assert FR_SPEC.unpack_mont(np.asarray(jax.device_get(back3[:, 0]))) == vals
 
 
 def test_dmsm_matches_host(mesh):
