@@ -71,3 +71,55 @@ def msm_sharded(points, scalars, mesh):
     sc_arr = jnp.asarray(dmsm_ops.FR_SPEC.pack_raw(sc))
     out = msm_sharded_arrays(arr, sc_arr, mesh)
     return gv.point_from_device(out)
+
+
+# ---------------------------------------------------------------------------
+# sharded FIXED-BASE commits (subset-sum tables, ops/msm_fixed.py)
+# ---------------------------------------------------------------------------
+
+
+def _fb_build_local(px, py, pz):
+    from ..ops import msm_fixed
+
+    return msm_fixed._build_tables(px, py, pz)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def build_tables_sharded(px, py, pz, mesh):
+    """Build the per-group subset-sum tables with the SRS sharded over the
+    mesh: each device builds (and later holds) only its own shard's tables
+    — a D-way speedup of the one-time build AND a D-way split of the table
+    HBM footprint (the 2^20-SRS tables are ~6.4 GB on one chip, ~0.8 GB
+    per chip on eight). Shard size must be a multiple of 8 (the group)."""
+    fn = jax.shard_map(
+        _fb_build_local,
+        mesh=mesh,
+        in_specs=(P(None, AXIS),) * 3,
+        out_specs=(P(None, AXIS, None), P(None, AXIS, None)),
+        check_vma=False,
+    )
+    return fn(px, py, pz)
+
+
+def _fb_msm_local(tx, ty, sc):
+    from ..ops import msm_fixed
+
+    part = msm_fixed._msm_fixed_kernel(tx, ty, sc)
+    gathered = tuple(jax.lax.all_gather(c, AXIS, axis=0).T for c in part)
+    return g1_vec.tree_reduce(gathered)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def msm_fixed_sharded(tx, ty, scalars_raw, mesh):
+    """Sharded fixed-base MSM: each device runs the Horner loop over its
+    own table shard (width n/8D lanes), then the D projective partials
+    are all-gathered and tree-added — the same combine as the bit-serial
+    path but with the 8x table op-count reduction on every shard."""
+    fn = jax.shard_map(
+        _fb_msm_local,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(None, AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(tx, ty, scalars_raw)

@@ -27,14 +27,11 @@ order (permuting the Z_H / domain-point tables once per size instead of
 the data) and inverts through the dual four-step (dntt._dntt_dual_jit),
 which consumes the cyclic layout directly — the classic DIF-forward /
 DIT-inverse pairing, so no global data permute exists anywhere in the
-quotient pipeline.  The fused single-executable round 3
-and the fixed-base commit tables remain the single-chip fast path
-(ops/prover_kernels.py, ops/msm_fixed.py); sharding those tables is the
-noted next step, not a correctness gap.
+quotient pipeline.  Commits default to the sharded fixed-base subset-sum
+tables (8x fewer add-lanes; each device builds and holds only its SRS
+shard's tables, so the table HBM footprint ALSO divides by D).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +39,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..fields import fr
-from ..ops import g1_vec, limbs, ntt as ntt_ops
+from ..ops import g1_vec, limbs
 from ..ops.ntt import FR_SPEC
 from ..ops.tpu_engine import TpuEngine
 from . import dmsm, dntt, dscan
@@ -182,14 +179,35 @@ class MeshEngine(TpuEngine):
             setup._mesh_srs_cache = cached
         return cached[1:]
 
+    def _mesh_fb_tables(self, setup):
+        """Sharded fixed-base tables: built once per (setup, mesh), each
+        device holding only its SRS shard's subset sums."""
+        cached = getattr(setup, "_mesh_fb_tables", None)
+        if cached is not None and cached[0] is not self.mesh:
+            cached = None
+        if cached is None:
+            px, py, pz, N = self._mesh_srs(setup)
+            tx, ty = dmsm.build_tables_sharded(px, py, pz, self.mesh)
+            cached = (self.mesh, tx, ty, N)
+            setup._mesh_fb_tables = cached
+        return cached[1:]
+
     def _commit_arrays(self, setup, scalars_raw):
+        from ..config import get_config
+
         px, py, pz, N = self._mesh_srs(setup)
         k = scalars_raw.shape[-1]
         if k > N:
             return super()._commit_arrays(setup, scalars_raw)
         if k < N:
             scalars_raw = jnp.pad(scalars_raw, ((0, 0), (0, N - k)))
-        return dmsm._msm_sharded(px, py, pz, self._place(scalars_raw), self.mesh)
+        sc = self._place(scalars_raw)
+        # fixed-base subset-sum tables (8x fewer add-lanes) when the shard
+        # admits the 8-point grouping; bit-serial otherwise
+        if get_config().commit_fixed_base and (N // self.D) % 8 == 0:
+            tx, ty, _ = self._mesh_fb_tables(setup)
+            return dmsm.msm_fixed_sharded(tx, ty, sc, self.mesh)
+        return dmsm._msm_sharded(px, py, pz, sc, self.mesh)
 
     # -- grand product --------------------------------------------------------
 
@@ -268,11 +286,9 @@ class MeshEngine(TpuEngine):
             _round3_combine_rows,
         )
 
-        from ..ops.dpoly import DPoly as _DP
-
         m = 4 * n
         all_dev = all(
-            isinstance(p, _DP)
+            isinstance(p, DPoly)
             for p in (a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
                       ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c)
         )

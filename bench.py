@@ -237,6 +237,14 @@ def main():
     log("device/host MSM agreement: OK")
 
     vs = msm_rate / host_rate
+    if fallback:
+        log(
+            "NOTE: the metric line below is a CPU-FALLBACK liveness number "
+            "(device tunnel unresponsive), not a TPU measurement. Last "
+            "recorded real-chip numbers (PERFORMANCE.md): fixed-base MSM "
+            "2^14 = 198 ms (8.27e4 points/s, vs_baseline ~46 at that size), "
+            "2^16 = 799 ms; NTT 2^16 = 72 ms; warm 2^12 prove = 2.78 s."
+        )
     print(
         json.dumps(
             {

@@ -83,18 +83,28 @@ def test_mesh_prove_byte_identical():
 
 
 @pytest.mark.slow
-def test_mesh_commit_matches_host_with_padding(engine):
+@pytest.mark.parametrize("fixed_base", [True, False])
+def test_mesh_commit_matches_host_with_padding(engine, fixed_base):
     """Commit lengths that don't divide the mesh (n+5 etc.) go through the
-    zero-scalar padding path and must agree with the host Pippenger."""
+    zero-scalar padding path and must agree with the host Pippenger —
+    on both the sharded fixed-base-table path and the bit-serial one."""
+    from baby_plonk_tpu import config as cfg
     from baby_plonk_tpu.protocol.poly import Basis, Poly
 
-    setup = Setup.generate_srs(128 + 6, tau=999, cache=False)
-    host = HostEngine()
-    for k in (128, 133, 17):
-        coeffs = [rng.randrange(fr.Q) for _ in range(k)]
-        want = host.commit(setup, Poly(list(coeffs), Basis.MONOMIAL))
-        got = engine.commit(setup, engine.poly(coeffs, Basis.MONOMIAL))
-        assert got == want, k
+    old = cfg.get_config()
+    new = cfg.Config()
+    new.commit_fixed_base = fixed_base
+    cfg.set_config(new)
+    try:
+        setup = Setup.generate_srs(128 + 6, tau=999, cache=False)
+        host = HostEngine()
+        for k in (128, 133, 17):
+            coeffs = [rng.randrange(fr.Q) for _ in range(k)]
+            want = host.commit(setup, Poly(list(coeffs), Basis.MONOMIAL))
+            got = engine.commit(setup, engine.poly(coeffs, Basis.MONOMIAL))
+            assert got == want, (fixed_base, k)
+    finally:
+        cfg.set_config(old)
 
 
 @pytest.mark.slow
