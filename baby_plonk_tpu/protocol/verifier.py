@@ -105,6 +105,14 @@ class Verifier:
         return beta, gamma, alpha, zeta, nu, mu
 
     def verify(self, public_input: list[int]) -> bool:
+        lhs_g1, rhs_g1 = self.final_check_points(public_input)
+        f12 = multi_miller_loop([(lhs_g1, self.vpi.x_2), (-rhs_g1, G2.generator())])
+        return final_exponentiation(f12).is_one()
+
+    def final_check_points(self, public_input: list[int]) -> tuple[G1, G1]:
+        """Steps 4-11 folded into the two G1 points of the final pairing
+        equation e(L, x_2) == e(R, G_2); exposed so ``batch_verify`` can
+        combine many proofs into ONE pairing check."""
         n = self.group_order
         proof = self.proof
         beta, gamma, alpha, zeta, nu, mu = self.compute_challenges(proof)
@@ -202,7 +210,7 @@ class Verifier:
         ) % Q
         e_1 = G1.generator() * e_scalar
 
-        # step 12: pairing check; one multi-miller loop with the RHS negated
+        # step 12 operands: e(lhs, x_2) == e(rhs, G_2)
         lhs_g1 = proof.w_zeta_1 + proof.w_zeta_omega_1 * mu
         rhs_g1 = (
             proof.w_zeta_1 * zeta
@@ -210,5 +218,51 @@ class Verifier:
             + f_1
             - e_1
         )
-        f12 = multi_miller_loop([(lhs_g1, vpi.x_2), (-rhs_g1, G2.generator())])
-        return final_exponentiation(f12).is_one()
+        return lhs_g1, rhs_g1
+
+
+def batch_verify(checks: list[tuple["Verifier", list[int]]]) -> bool:
+    """Verify many proofs with ONE 2-pairing check.
+
+    ``checks`` is a list of (Verifier, public_input) sharing one SRS (the
+    same x_2 = [tau]G_2). Each proof contributes its final-check pair
+    (L_i, R_i) with e(L_i, x_2) == e(R_i, G_2); a random linear
+    combination r_i (Schwartz–Zippel: if any single check fails, the
+    combined one fails except with probability ~k/r) folds them into
+      e(sum r_i L_i, x_2) == e(sum r_i R_i, G_2).
+    The combiners are derived Fiat–Shamir-style from every proof and
+    public input, so a prover cannot craft proofs that cancel.
+
+    The reference has no aggregate path (verifier.rs checks one proof per
+    pairing); at k proofs this is 2 pairings instead of 2k.
+    """
+    import hashlib
+
+    if not checks:
+        return True
+    x_2 = checks[0][0].vpi.x_2
+    assert all(v.vpi.x_2 == x_2 for v, _ in checks), "batch needs one SRS"
+    h = hashlib.sha3_256(b"bpt-batch-verify")
+    for v, pub in checks:
+        h.update(v.proof.to_bytes())
+        for x in pub:
+            h.update(int(x % Q).to_bytes(32, "little"))
+    seed = h.digest()
+    lhs = G1.identity()
+    rhs = G1.identity()
+    for i, (v, pub) in enumerate(checks):
+        li, ri = v.final_check_points(pub)
+        if i == 0:
+            r_i = 1
+        else:
+            r_i = (
+                int.from_bytes(
+                    hashlib.sha3_256(seed + i.to_bytes(4, "little")).digest(),
+                    "little",
+                )
+                % Q
+            )
+        lhs = lhs + li * r_i
+        rhs = rhs + ri * r_i
+    f12 = multi_miller_loop([(lhs, x_2), (-rhs, G2.generator())])
+    return final_exponentiation(f12).is_one()

@@ -28,8 +28,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compile cache: the suite clears live executable caches
 # between modules (memory pressure, below) — the disk cache makes the
 # re-compiles near-free from the second run on.
-from baby_plonk_tpu.utils import jaxcache  # noqa: E402
+from baby_plonk_tpu.utils import envfix, jaxcache  # noqa: E402
 
+# 8-device SPMD executables exhaust the default vm.max_map_count mid-suite
+# (LLVM mmap ENOMEM -> abort/segv); raise it or warn (utils/envfix.py)
+envfix.ensure_map_count()
 jaxcache.enable()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

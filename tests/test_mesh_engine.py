@@ -5,11 +5,13 @@ the collectives exercised (all_to_all NTT stage exchange, all_gather MSM
 partials, cross-shard scans) are the same graph that rides ICI on real
 hardware.
 
-The two full-prove tests run in SUBPROCESSES: compiling several of the
-large 8-device SPMD executables inside the long-lived pytest process
-segfaults jaxlib 0.9.0's XLA:CPU compile/serialize path
-nondeterministically, while the identical pipeline in a fresh process is
-stable (same profile as __graft_entry__.dryrun_multichip, 3/3 clean runs).
+The two full-prove tests run in SUBPROCESSES. Root cause of the crashes
+that motivated this: each large 8-device SPMD executable JIT-compiles
+into thousands of memory mappings, and a long-lived process exhausts
+vm.max_map_count (default 65530) — LLVM then dies with mmap ENOMEM
+(utils/envfix.py raises the limit; conftest.py applies it). Subprocess
+isolation additionally caps per-process accumulation, so these tests
+stay robust even where the limit cannot be raised.
 """
 import os
 import random

@@ -20,16 +20,6 @@ from baby_plonk_tpu.protocol import poly as hostpoly
 rng = random.Random(4242)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache():
-    """See tests/test_mesh_engine.py: serializing large 8-device SPMD
-    executables can crash jaxlib's CPU AOT path; compile cold here."""
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", prev)
-
-
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8
