@@ -82,6 +82,38 @@ def powers_of_tau_device(powers: int, tau: int):
     return res
 
 
+def powers_of_tau_sharded(powers: int, tau: int, mesh):
+    """Distributed trusted-setup generation: the powers-of-tau batch
+    block-sharded over a mesh. The fixed-base kernel is lane-wise, so a
+    sharded placement partitions it with ZERO collectives — each device
+    computes its tau^i range, a D-way speedup of setup, and the SRS is
+    born in the layout the distributed prover consumes.
+
+    Returns (X, Y, Z) sharded (24, N) arrays, N = powers padded up to a
+    multiple of the mesh size (padding lanes hold scalar 0 -> identity)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..curves.g1 import G1
+    from ..parallel.mesh import AXIS
+
+    tau = tau % fr.Q
+    D = int(mesh.devices.size)
+    N = -(-powers // D) * D
+    cur = 1
+    scalars = []
+    for _ in range(powers):
+        scalars.append(cur)
+        cur = cur * tau % fr.Q
+    scalars += [0] * (N - powers)
+    sharding = NamedSharding(mesh, P(None, AXIS))
+    base = g1_vec.points_to_device([G1.generator()])
+    px, py, pz = (
+        jax.device_put(jnp.tile(c, (1, N)), sharding) for c in base
+    )
+    sc = jax.device_put(jnp.asarray(FR_SPEC.pack_raw(scalars)), sharding)
+    return _fixed_base_kernel(px, py, pz, sc)
+
+
 def device_points_to_host(p) -> list:
     """(24, n) x3 projective Montgomery -> list[G1] via one batch inversion."""
     from ..curves.g1 import G1

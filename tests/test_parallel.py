@@ -87,6 +87,19 @@ def test_prove_step_sharded(mesh):
         assert got == want
 
 
+def test_powers_of_tau_sharded(mesh):
+    """Distributed SRS generation must reproduce the host powers-of-tau
+    (padding lanes beyond `powers` are identity points)."""
+    from baby_plonk_tpu.ops import srs
+
+    powers, tau = 22, 31337  # deliberately not divisible by D=8
+    out = srs.powers_of_tau_sharded(powers, tau, mesh)
+    pts = srs.device_points_to_host(tuple(np.asarray(jax.device_get(c)) for c in out))
+    want = [G1.generator() * pow(tau, i, fr.Q) for i in range(powers)]
+    assert pts[:powers] == want
+    assert all(p.is_identity() for p in pts[powers:])
+
+
 def test_grand_product_sharded(mesh):
     from baby_plonk_tpu.ops.engine import HostEngine
     from baby_plonk_tpu.parallel import dscan
