@@ -3,6 +3,11 @@
 The axon tunnel can wedge server-side (device enumeration works, launches
 hang) — run this under `timeout` before any TPU measurement session.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from baby_plonk_tpu.utils import jaxcache
 
 jaxcache.enable()
