@@ -43,6 +43,15 @@ CHUNK = 1 << 14
 #: backends where sub-word gathers regress.
 TABLE_U16 = os.environ.get("BPT_MSM_TABLE_U16", "1") == "1"
 
+#: Horner segments (shifted-table variant, below). S > 1 stores S table
+#: sets — segment j holds subset sums of 2^(j*255/S) * P — and runs a
+#: 255/S-iteration Horner loop with S gathers + S mixed adds but only ONE
+#: double per iteration: doubling lanes drop from 255*G to (255/S)*G at
+#: S x the table memory. Op-count model (muls/lane: double 11, mixed add
+#: 13): S=1 -> 255*(11+13)=6120; S=3 -> 85*11+255*13=4250 (1.44x); S=5 ->
+#: 51*11+255*13=3876 (1.58x). Must divide 255 (1, 3, 5, 15, 17).
+SEGMENTS = int(os.environ.get("BPT_MSM_SEGMENTS", "1"))
+
 
 @jax.jit
 def _build_tables(px, py, pz):
@@ -127,14 +136,62 @@ def _msm_fixed_kernel(tx, ty, scalars):
     return g1_vec.tree_reduce(acc)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=1)
+def _shift_points(pts, k: int):
+    """(24, m) x3 Montgomery points -> 2^k * each point (k doublings)."""
+    return jax.lax.fori_loop(0, k, lambda _, p: g1_vec.pdouble(p), pts)
+
+
+@jax.jit
+def _msm_seg_kernel(txs, tys, scalars):
+    """txs/tys: (S, 24, G, 256) affine tables, segment j holding subset
+    sums of 2^(j*255/S)-shifted points; scalars: (16, 8G) raw 16-bit
+    limbs. One double + S gathers + S mixed adds per iteration over a
+    255/S-iteration Horner loop. Returns the (X, Y, Z) limb tuple (24,)."""
+    S, _, G, _ = txs.shape
+    seg = BITS // S
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+    acc = g1_vec.pidentity((G,))
+
+    def step(i, acc):
+        acc = g1_vec.pdouble(acc)
+        for j in range(S):  # static unroll: S is tiny (3 or 5)
+            bit = j * seg + (seg - 1 - i)  # MSB-first within segment j
+            limb = jax.lax.dynamic_index_in_dim(
+                scalars, bit >> 4, axis=0, keepdims=False
+            )
+            b = (limb >> (bit & 15).astype(jnp.uint32)) & 1  # (8G,)
+            bits8 = b.reshape(G, GROUP).astype(jnp.int32)
+            idx = jnp.sum(bits8 << shifts, axis=-1)  # (G,) in [0, 256)
+            gidx = idx[None, :, None]
+            qx, qy = (
+                jnp.take_along_axis(t[j], gidx, axis=2)[:, :, 0].astype(
+                    jnp.uint32
+                )
+                for t in (txs, tys)
+            )
+            added = g1_vec.padd_mixed(acc, (qx, qy))
+            is_id = limbs.is_zero(qx) & limbs.is_zero(qy)
+            acc = g1_vec.pselect(is_id, acc, added)
+        return acc
+
+    acc = jax.lax.fori_loop(0, seg, step, acc)
+    return g1_vec.tree_reduce(acc)
+
+
 class FixedBaseTables:
     """Lazily-built, chunk-cached subset-sum tables for a fixed point set."""
 
-    def __init__(self, points_mont, chunk: int = CHUNK):
+    def __init__(self, points_mont, chunk: int = CHUNK, segments: int | None = None):
         self.px, self.py, self.pz = points_mont
         self.n = self.px.shape[-1]
         assert chunk % GROUP == 0 and (chunk // GROUP) & (chunk // GROUP - 1) == 0
         self.chunk = chunk
+        self.segments = SEGMENTS if segments is None else segments
+        assert BITS % self.segments == 0, "segments must divide 255"
         self._tables: dict[int, tuple] = {}
 
     def _chunk_tables(self, ci: int):
@@ -152,7 +209,16 @@ class FixedBaseTables:
             px = jnp.concatenate([px, jnp.tile(px[:, :1], (1, pad))], axis=-1)
             py = jnp.concatenate([py, jnp.tile(py[:, :1], (1, pad))], axis=-1)
             pz = jnp.concatenate([pz, jnp.tile(pz[:, :1], (1, pad))], axis=-1)
-        t = _build_tables(px, py, pz)
+        if self.segments == 1:
+            t = _build_tables(px, py, pz)
+        else:
+            seg = BITS // self.segments
+            per_seg, pts = [], (px, py, pz)
+            for j in range(self.segments):
+                if j:
+                    pts = _shift_points(pts, seg)  # 2^seg * previous set
+                per_seg.append(_build_tables(*pts))
+            t = tuple(jnp.stack([s[c] for s in per_seg]) for c in (0, 1))
         self._tables[ci] = t
         return t
 
@@ -175,7 +241,10 @@ class FixedBaseTables:
                     axis=-1,
                 )
             tx, ty = self._chunk_tables(ci)
-            parts.append(_msm_fixed_kernel(tx, ty, sc))
+            if self.segments == 1:
+                parts.append(_msm_fixed_kernel(tx, ty, sc))
+            else:
+                parts.append(_msm_seg_kernel(tx, ty, sc))
         if len(parts) == 1:
             return parts[0]
         stacked = tuple(

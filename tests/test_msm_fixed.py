@@ -87,3 +87,19 @@ def test_tables_build_invariant():
         x = FQ_SPEC.unpack_mont(np.asarray(tx[:, 0, idx]).reshape(24, 1))[0]
         y = FQ_SPEC.unpack_mont(np.asarray(ty[:, 0, idx]).reshape(24, 1))[0]
         assert (x, y) == want.to_affine()
+
+
+@pytest.mark.parametrize("segments", [3, 5])
+@pytest.mark.slow
+def test_msm_fixed_segmented_matches_host(segments):
+    """Shifted-table Horner variant (BPT_MSM_SEGMENTS): one double per
+    iteration, S gathers/adds; must agree with the host oracle."""
+    n = 16
+    pts, scalars = _mk(n)
+    tabs = msm_fixed.FixedBaseTables(
+        g1_vec.points_to_device(pts), chunk=16, segments=segments
+    )
+    for sc_list in (scalars, [fr.Q - 1] * n, [0, 1] * (n // 2)):
+        sc = jnp.asarray(FR_SPEC.pack_raw(sc_list))
+        got = g1_vec.point_from_device(tabs.msm(sc))
+        assert got == msm_host.msm(pts, sc_list)
