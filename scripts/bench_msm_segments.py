@@ -59,7 +59,10 @@ def main():
     log(f"sync latency: {lat*1e3:.1f} ms")
 
     results = {}
-    for S in (1, 3, 5):
+    svals = tuple(
+        int(s) for s in os.environ.get("BPT_BENCH_SEGMENTS", "1,3,5").split(",")
+    )
+    for S in svals:
         tabs = msm_fixed.FixedBaseTables((px, py, pz), segments=S)
         t0 = time.time()
         nchunks = (n + tabs.chunk - 1) // tabs.chunk
