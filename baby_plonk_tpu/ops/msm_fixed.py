@@ -183,20 +183,53 @@ def _msm_seg_kernel(txs, tys, scalars):
 
 
 class FixedBaseTables:
-    """Lazily-built, chunk-cached subset-sum tables for a fixed point set."""
+    """Lazily-built, chunk-cached subset-sum tables for a fixed point set.
 
-    def __init__(self, points_mont, chunk: int = CHUNK, segments: int | None = None):
+    ``cache_key`` (the SRS identity, protocol/setup.py) enables an npz
+    disk cache per chunk: the tables are pure functions of (SRS chunk,
+    layout version, segments, dtype), and the 2^20-SRS steady-state build
+    is ~5.4 s/chunk x 64 chunks per process without it (PERFORMANCE.md) —
+    the same reasoning as the SRS npz cache itself (setup.rs:32-37 is the
+    commit precompute being amortized)."""
+
+    def __init__(
+        self,
+        points_mont,
+        chunk: int = CHUNK,
+        segments: int | None = None,
+        cache_key: str | None = None,
+    ):
         self.px, self.py, self.pz = points_mont
         self.n = self.px.shape[-1]
         assert chunk % GROUP == 0 and (chunk // GROUP) & (chunk // GROUP - 1) == 0
         self.chunk = chunk
         self.segments = SEGMENTS if segments is None else segments
         assert BITS % self.segments == 0, "segments must divide 255"
+        self.cache_key = cache_key if os.environ.get("BPT_FBT_CACHE", "1") == "1" else None
         self._tables: dict[int, tuple] = {}
+
+    def _cache_path(self, ci: int) -> str | None:
+        if self.cache_key is None:
+            return None
+        from ..config import get_config
+
+        u16 = 1 if TABLE_U16 else 0
+        return os.path.join(
+            get_config().srs_cache_dir,
+            f"fbt-v1-{self.cache_key}-c{self.chunk}-s{self.segments}-u{u16}-{ci}.npz",
+        )
 
     def _chunk_tables(self, ci: int):
         t = self._tables.get(ci)
         if t is not None:
+            return t
+        path = self._cache_path(ci)
+        if path is not None and os.path.exists(path):
+            import numpy as _np
+
+            data = _np.load(path)
+            t = (jnp.asarray(data["tx"]), jnp.asarray(data["ty"]))
+            self._tables[ci] = t
             return t
         lo = ci * self.chunk
         hi = min(lo + self.chunk, self.n)
@@ -219,6 +252,17 @@ class FixedBaseTables:
                     pts = _shift_points(pts, seg)  # 2^seg * previous set
                 per_seg.append(_build_tables(*pts))
             t = tuple(jnp.stack([s[c] for s in per_seg]) for c in (0, 1))
+        if path is not None:
+            import numpy as _np
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp.npz"
+            _np.savez(
+                tmp,
+                tx=_np.asarray(jax.device_get(t[0])),
+                ty=_np.asarray(jax.device_get(t[1])),
+            )
+            os.replace(tmp, path)
         self._tables[ci] = t
         return t
 
@@ -267,6 +311,8 @@ def tables_for_setup(setup, chunk: int | None = None) -> FixedBaseTables:
             while c < min(n, CHUNK):
                 c <<= 1
             chunk = c
-        tabs = FixedBaseTables(setup._tpu_cache, chunk=chunk)
+        tabs = FixedBaseTables(
+            setup._tpu_cache, chunk=chunk, cache_key=getattr(setup, "cache_key", None)
+        )
         setup._fb_tables = tabs
     return tabs

@@ -153,9 +153,140 @@ def _ntt_jit(a, inverse: bool, perm, tw, n_inv):
     return ntt_mont(a, inverse, perm, tw, n_inv)
 
 
+# -- four-step (single-chip) ---------------------------------------------------
+#
+# The Pease interleave above moves data across the TPU *lane* axis every
+# stage (stack+reshape on the last axis = a cross-lane shuffle), which is
+# what keeps the measured NTT ~10x above its lane-op bound.  The four-step
+# factorization n = n1*n2 runs BOTH length-n1/n2 sub-NTTs along the
+# sublane axis (full 128-lane rows per vector op, relayouts at row
+# granularity), with one transpose and one pointwise twiddle pass between:
+#
+#   x.reshape(n1, n2) -> NTT_n1 over axis 0 -> * w^(i2*j1) -> transpose
+#                     -> NTT_n2 over axis 0 -> flatten = X (natural order)
+#
+# (same factorization the distributed dNTT uses across chips,
+# parallel/dntt.py — here it is the on-chip layout trick.)
+
+
+@functools.lru_cache(maxsize=None)
+def _plan4(n: int, inverse: bool):
+    """(n1, n2, tw1 (16, n1), tw2 (16, n2), crossT (16, n1, n2), br1, br2,
+    n_inv). tw1/tw2 are the sub-NTT twiddles (powers of w^n2 / w^n1);
+    crossT[_, j1, i2] = w^(j1*i2) is the fully materialized step-2 twiddle
+    matrix — input-independent, so built once here instead of a 16M-element
+    device gather per call (measured: the gather made 4step *slower* than
+    pease at 2^20)."""
+    logn = n.bit_length() - 1
+    log_n2 = (logn + 1) // 2  # lane axis gets the larger factor
+    n1, n2 = 1 << (logn - log_n2), 1 << log_n2
+    root = fr.root_of_unity(n)
+    if inverse:
+        root = pow(root, fr.Q - 2, fr.Q)
+    w1, w2 = pow(root, n2, fr.Q), pow(root, n1, fr.Q)
+    tw1, tw2 = [1] * n1, [1] * n2
+    for i in range(1, n1):
+        tw1[i] = tw1[i - 1] * w1 % fr.Q
+    for i in range(1, n2):
+        tw2[i] = tw2[i - 1] * w2 % fr.Q
+    base_row = [1] * n2  # w^i2
+    for i2 in range(1, n2):
+        base_row[i2] = base_row[i2 - 1] * root % fr.Q
+    cross = [1] * n  # row j1 = (row j1-1) * w^i2 elementwise = w^(j1*i2)
+    for j1 in range(1, n1):
+        row = j1 * n2
+        prev = row - n2
+        for i2 in range(n2):
+            cross[row + i2] = cross[prev + i2] * base_row[i2] % fr.Q
+    n_inv = FR_SPEC.pack_mont([pow(n, fr.Q - 2, fr.Q)])
+    return (
+        n1,
+        n2,
+        FR_SPEC.pack_mont(tw1),
+        FR_SPEC.pack_mont(tw2),
+        FR_SPEC.pack_mont(cross).reshape(FR_SPEC.L, n1, n2),
+        _bit_reverse_perm(n1),
+        _bit_reverse_perm(n2),
+        n_inv,
+    )
+
+
+def _ntt_axis2(a, m: int, tw, br, nbatch: int):
+    """Pease DIF NTT of length m along axis -2 (twiddle table tw holds the
+    sub-root powers), bit-reversal fixed by a row gather."""
+    spec = FR_SPEC
+    if m == 1:
+        return a
+    logm = m.bit_length() - 1
+    half = m // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)[:, 0]
+
+    def stage(s, a):
+        u = a[..., :half, :]
+        v = a[..., half:, :]
+        e = (j >> s) << s
+        w = jnp.take(tw, e, axis=-1)  # (16, half)
+        w = w.reshape(w.shape[:1] + (1,) * nbatch + (half, 1))
+        A = limbs.add_mod(spec, u, v)
+        B = limbs.mont_mul(spec, limbs.sub_mod(spec, u, v), w)
+        return jnp.stack([A, B], axis=-2).reshape(a.shape)
+
+    a = jax.lax.fori_loop(0, logm, stage, a)
+    return jnp.take(a, br, axis=-2)
+
+
+def ntt4_mont(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_inv):
+    """Four-step NTT of Montgomery-form values. a: (16, ..., n) -> same."""
+    spec = FR_SPEC
+    n = n1 * n2
+    assert a.shape[-1] == n
+    nbatch = a.ndim - 2
+    lead = a.shape[:-1]
+    a = a.reshape(lead + (n1, n2))
+    # columns: NTT over i1 (length n1, root w^n2), lanes = i2 untouched
+    a = _ntt_axis2(a, n1, tw1, br1, nbatch)
+    # cross twiddles w^(j1*i2), precomputed (no gather)
+    w = crossT.reshape(crossT.shape[:1] + (1,) * nbatch + (n1, n2))
+    a = limbs.mont_mul(spec, a, w)
+    # rows: transpose so i2 rides the sublane axis, then NTT over i2
+    a = jnp.swapaxes(a, -1, -2)  # (16, ..., n2, n1)
+    a = _ntt_axis2(a, n2, tw2, br2, nbatch)
+    # layout is now (j2, j1); flattening gives X[j1 + n1*j2] — natural order
+    a = a.reshape(lead + (n,))
+    if inverse:
+        ni = n_inv.reshape(n_inv.shape[:1] + (1,) * nbatch + (1,))
+        a = limbs.mont_mul(spec, a, ni)
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _ntt4_jit(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_inv):
+    return ntt4_mont(a, inverse, n1, n2, tw1, tw2, crossT, br1, br2, n_inv)
+
+
+#: BPT_NTT_ALGO=pease forces the constant-geometry path at every size
+_ALGO = _os.environ.get("BPT_NTT_ALGO", "4step")
+#: below this the lane axis isn't even full and the pease path is fine
+_4STEP_MIN_N = int(_os.environ.get("BPT_NTT_4STEP_MIN", "4096"))
+
+
 def ntt_device(a_mont, inverse: bool = False):
     """Jitted NTT on Montgomery-form Fr limbs (16, ..., n), position last."""
     n = a_mont.shape[-1]
+    if _ALGO == "4step" and n >= _4STEP_MIN_N:
+        n1, n2, tw1, tw2, crossT, br1, br2, n_inv = _plan4(n, inverse)
+        return _ntt4_jit(
+            a_mont,
+            inverse,
+            n1,
+            n2,
+            jnp.asarray(tw1),
+            jnp.asarray(tw2),
+            jnp.asarray(crossT),
+            jnp.asarray(br1),
+            jnp.asarray(br2),
+            jnp.asarray(n_inv),
+        )
     perm, tw, n_inv = _plan(n, inverse)
     return _ntt_jit(
         a_mont, inverse, jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv)

@@ -35,6 +35,9 @@ class Setup:
         self.x_2 = x_2
         self.n_powers = n_powers if n_powers is not None else len(powers_of_x or [])
         self._tpu_cache = None  # device-resident SRS, filled lazily by the TPU engine
+        #: stable identity for derived-artifact caches (fixed-base tables);
+        #: set by the generate_srs* constructors when caching is on
+        self.cache_key: str | None = None
 
     def srs_len(self) -> int:
         return self.n_powers
@@ -56,6 +59,7 @@ class Setup:
 
         tau = tau % fr.Q
         path = None
+        key = None
         if cache:
             key = hashlib.sha256(
                 f"srs-dev-v2-{powers}-{tau}-r{g1_vec.FQ.radix}".encode()
@@ -73,8 +77,10 @@ class Setup:
                 setup._tpu_cache = tuple(
                     _jnp.asarray(data[k]) for k in ("px", "py", "pz")
                 )
+                setup.cache_key = key
                 return setup
         setup = Setup(None, G2.generator() * tau, n_powers=powers)
+        setup.cache_key = key
         setup._tpu_cache = dsrs.powers_of_tau_device(powers, tau)
         if cache and path is not None:
             os.makedirs(_cache_dir(), exist_ok=True)
@@ -109,10 +115,12 @@ class Setup:
             if os.path.exists(path):
                 with open(path, "rb") as f:
                     xs, x2 = pickle.load(f)
-                return Setup(
+                setup = Setup(
                     [G1(*t) for t in xs],
                     G2(Fp2(*x2[0]), Fp2(*x2[1]), Fp2(*x2[2])),
                 )
+                setup.cache_key = key
+                return setup
         g = G1.generator()
         # powers of tau in the field (cheap), then one fixed-base mul each
         cur = 1
@@ -123,6 +131,7 @@ class Setup:
             cur = cur * tau % fr.Q
         x_2 = G2.generator() * tau
         setup = Setup(pows, x_2)
+        setup.cache_key = key
         if cache and key is not None:
             os.makedirs(_cache_dir(), exist_ok=True)
             path = os.path.join(_cache_dir(), f"{key}.pkl")
