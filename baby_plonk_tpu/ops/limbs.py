@@ -332,53 +332,58 @@ def neg_mod(spec: FieldSpec, a):
     return jnp.where(is_zero(a), jnp.zeros_like(a), d)
 
 
-def _slice_add(acc, start, p):
-    # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
-    # scatter, which Mosaic cannot lower and XLA updates by copy
-    stop = start + p.shape[0]
-    parts = []
-    if start > 0:
-        parts.append(acc[:start])
-    parts.append(acc[start:stop] + p)
-    if stop < acc.shape[0]:
-        parts.append(acc[stop:])
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+def _mul_cols(a, b, out_limbs: int, radix: int = 16):
+    """Raw column sums of the schoolbook product — NOT carry-normalized.
 
+    a: (La, ...), b: (Lb, ...) -> (out_limbs, ...) with
+    out[k] = sum_{i+j=k} lo(a_i*b_j) + sum_{i+j=k-1} hi(a_i*b_j).
+    Every output limb stays < 2^23 (<= 2*min(La,Lb) <= 64 terms, each
+    < 2^16 after the lo/hi split; radix <= 12 skips the split — raw
+    24-bit products, sums < 2^30 for <= 32 terms).
 
-def _mul_wide(a, b, out_limbs: int, radix: int = 16):
-    """Schoolbook product over radix-bit limbs, carry-normalized.
-
-    a: (La, ...), b: (Lb, ...) -> (out_limbs, ...). For radix <= 12 the
-    raw 32-bit products accumulate directly (column sums of <= 32 products
-    of 12-bit limbs stay < 2^29 — no lo/hi splitting, ~2.5x fewer lane ops
-    per product); radix 16 splits each product into lo/hi halves so sums
-    stay in uint32.
+    This is one flat expression per output limb (static row indexing, a
+    pairwise add tree, one stack) so XLA compiles the whole product into
+    a single loop fusion. The previous formulation accumulated via
+    sequential slice+concat updates, which materialized the full-width
+    accumulator per step — ~2x wall-clock on 2^20-element batches even
+    after fusion (measured: scripts/bench_montmul.py).
     """
     La = a.shape[0]
     Lb = b.shape[0]
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    if radix <= 12:
-        acc = jnp.zeros((out_limbs,) + shape, dtype=U32)
-        for i in range(La):
-            w = min(Lb, out_limbs - i)
-            if w <= 0:
-                break
-            p = a[i : i + 1] * b[:w]  # exact: 12x12 -> 24 bits
-            acc = _slice_add(acc, i, p)
-        return _carry_pass(acc, radix=radix)
-    lo = jnp.zeros((out_limbs,) + shape, dtype=U32)
-    hi = jnp.zeros((out_limbs,) + shape, dtype=U32)
+    split = radix > 12
+    mask = np.uint32((1 << radix) - 1)
+    terms: list[list] = [[] for _ in range(out_limbs)]
     for i in range(La):
-        p = a[i : i + 1] * b  # exact: 16x16 -> 32 bits
-        w = min(Lb, out_limbs - i)
-        if w <= 0:
-            break
-        lo = _slice_add(lo, i, p[:w] & MASK16)
-        w2 = min(Lb, out_limbs - i - 1)
-        if w2 > 0:
-            hi = _slice_add(hi, i + 1, p[:w2] >> 16)
-    # each limb <= 2*max(La,Lb) * (2^16 - 1) < 2^22: one carry pass suffices
-    return _carry_pass(lo + hi)
+        for j in range(Lb):
+            k = i + j
+            if k >= out_limbs:
+                break
+            p = a[i] * b[j]  # exact: 16x16 -> 32 bits (or 24 for radix 12)
+            if not split:
+                terms[k].append(p)
+                continue
+            terms[k].append(p & mask)
+            if k + 1 < out_limbs:
+                terms[k + 1].append(p >> radix)
+    rows = []
+    for k in range(out_limbs):
+        level = terms[k]
+        if not level:
+            rows.append(jnp.zeros(shape, dtype=U32))
+            continue
+        while len(level) > 1:  # pairwise tree keeps the expression shallow
+            nxt = [level[i] + level[i + 1] for i in range(0, len(level) - 1, 2)]
+            if len(level) % 2:
+                nxt.append(level[-1])
+            level = nxt
+        rows.append(jnp.broadcast_to(level[0], shape))
+    return jnp.stack(rows, axis=0)
+
+
+def _mul_wide(a, b, out_limbs: int, radix: int = 16):
+    """Schoolbook product over radix-bit limbs, carry-normalized."""
+    return _carry_pass(_mul_cols(a, b, out_limbs, radix), radix=radix)
 
 
 def mont_mul(spec: FieldSpec, a, b):
@@ -386,17 +391,27 @@ def mont_mul(spec: FieldSpec, a, b):
 
     Full-product reduction (vector form of CIOS, cf. scalar.rs:514-588):
     t = a*b; m = (t mod R)*N' mod R; u = (t + m*n)/R; subtract n once.
+
+    Carries are resolved lazily: t and m*n stay as raw column sums (limbs
+    < 2^23, see _mul_cols) and only (t mod R), (m mod R) and the final
+    (t + m*n)/R get a carry pass — carries in the low L columns of t never
+    influence limbs >= L of the final sum beyond what the single full-width
+    pass at the end resolves, because column sums represent the same value.
     """
     L = spec.L
     rx = spec.radix
     a, b = jnp.broadcast_arrays(a, b)
-    t = _mul_wide(a, b, 2 * L, rx)  # (2L, ...); top limb in range (t < n^2)
-    m = _mul_wide(t[:L], _bc(spec.nprime_limbs, t[:L]), L, rx)
-    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & spec.mask], axis=0)  # mod R
-    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L, rx)  # m*n < R*n
+    t_cols = _mul_cols(a, b, 2 * L, rx)  # raw column sums of t = a*b < n^2
+    t_low = _carry_pass(t_cols[:L], mask_top=True, radix=rx)  # == t mod R
+    m = _carry_pass(
+        _mul_cols(t_low, _bc(spec.nprime_limbs, t_low), L, rx),
+        mask_top=True,
+        radix=rx,
+    )  # == (t mod R) * N' mod R
+    mn_cols = _mul_cols(m, _bc(spec.n_limbs, m), 2 * L, rx)  # m*n < R*n
     # u = (t + m*n) / R; low L limbs of the sum are zero by construction.
     # Top limb of the sum may carry one extra bit -> append a zero limb.
-    s = t + mn
+    s = t_cols + mn_cols  # limbs < 2^24: safely inside _carry_pass's domain
     s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
     u = _carry_pass(s, radix=rx)
     hi = u[L:]  # (L+1, ...); value < 2n
@@ -450,9 +465,10 @@ def mont_reduce_wide(spec: FieldSpec, t):
     two conditional subtractions."""
     L = spec.L
     nprime = _bc(spec.nprime_limbs, t[:L])
-    m = _mul_wide(t[:L], nprime, L, spec.radix)
-    m = jnp.concatenate([m[: L - 1], m[L - 1 :] & spec.mask], axis=0)
-    mn = _mul_wide(m, _bc(spec.n_limbs, m), 2 * L, spec.radix)
+    m = _carry_pass(
+        _mul_cols(t[:L], nprime, L, spec.radix), mask_top=True, radix=spec.radix
+    )  # == (t mod R) * N' mod R
+    mn = _mul_cols(m, _bc(spec.n_limbs, m), 2 * L, spec.radix)  # raw columns
     s = t + mn
     s = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], dtype=U32)], axis=0)
     u = _carry_pass(s, radix=spec.radix)
