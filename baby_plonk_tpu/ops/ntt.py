@@ -270,27 +270,39 @@ _ALGO = _os.environ.get("BPT_NTT_ALGO", "4step")
 _4STEP_MIN_N = int(_os.environ.get("BPT_NTT_4STEP_MIN", "4096"))
 
 
+@functools.lru_cache(maxsize=None)
+def _plan4_device(n: int, inverse: bool):
+    """Device-resident four-step plan. The cross-twiddle matrix is (16, n1,
+    n2) = 4n words — re-uploading it per call (a fresh jnp.asarray) costs a
+    full host->device transfer of 16n bytes EVERY NTT (measured: 1.4 s of
+    the 1.5 s 2^20 NTT). Upload once, keep the buffers alive."""
+    n1, n2, tw1, tw2, crossT, br1, br2, n_inv = _plan4(n, inverse)
+    return (
+        n1,
+        n2,
+        jnp.asarray(tw1),
+        jnp.asarray(tw2),
+        jnp.asarray(crossT),
+        jnp.asarray(br1),
+        jnp.asarray(br2),
+        jnp.asarray(n_inv),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_device(n: int, inverse: bool):
+    perm, tw, n_inv = _plan(n, inverse)
+    return jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv)
+
+
 def ntt_device(a_mont, inverse: bool = False):
     """Jitted NTT on Montgomery-form Fr limbs (16, ..., n), position last."""
     n = a_mont.shape[-1]
     if _ALGO == "4step" and n >= _4STEP_MIN_N:
-        n1, n2, tw1, tw2, crossT, br1, br2, n_inv = _plan4(n, inverse)
-        return _ntt4_jit(
-            a_mont,
-            inverse,
-            n1,
-            n2,
-            jnp.asarray(tw1),
-            jnp.asarray(tw2),
-            jnp.asarray(crossT),
-            jnp.asarray(br1),
-            jnp.asarray(br2),
-            jnp.asarray(n_inv),
-        )
-    perm, tw, n_inv = _plan(n, inverse)
-    return _ntt_jit(
-        a_mont, inverse, jnp.asarray(perm), jnp.asarray(tw), jnp.asarray(n_inv)
-    )
+        n1, n2, tw1, tw2, crossT, br1, br2, n_inv = _plan4_device(n, inverse)
+        return _ntt4_jit(a_mont, inverse, n1, n2, tw1, tw2, crossT, br1, br2, n_inv)
+    perm, tw, n_inv = _plan_device(n, inverse)
+    return _ntt_jit(a_mont, inverse, perm, tw, n_inv)
 
 
 # -- host-boundary helpers ----------------------------------------------------
