@@ -286,7 +286,15 @@ class FixedBaseTables:
                 )
             tx, ty = self._chunk_tables(ci)
             if self.segments == 1:
-                parts.append(_msm_fixed_kernel(tx, ty, sc))
+                from ..config import get_config
+
+                if get_config().msm_algorithm == "pallas-fixed":
+                    # fused VMEM-resident Horner loop (BPT_MSM=pallas-fixed)
+                    from . import pallas_kernels
+
+                    parts.append(pallas_kernels.msm_fixed_pallas(tx, ty, sc))
+                else:
+                    parts.append(_msm_fixed_kernel(tx, ty, sc))
             else:
                 parts.append(_msm_seg_kernel(tx, ty, sc))
         if len(parts) == 1:

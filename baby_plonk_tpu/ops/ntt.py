@@ -235,6 +235,21 @@ def _ntt_axis2(a, m: int, tw, br, nbatch: int):
     return jnp.take(a, br, axis=-2)
 
 
+#: BPT_NTT_SUB=pallas runs the four-step's sub-NTTs as the fused
+#: VMEM-resident Pallas kernel (ops/pallas_kernels.py::ntt_sub_pallas)
+#: instead of the XLA stage loop. Same function, same bit-reversal fixup.
+_SUB_IMPL = _os.environ.get("BPT_NTT_SUB", "xla")
+
+
+def _sub_ntt(a, m: int, tw, br, nbatch: int, inverse: bool):
+    if _SUB_IMPL == "pallas" and nbatch == 0 and m > 1:
+        from . import pallas_kernels
+
+        out = pallas_kernels.ntt_sub_pallas(a, inverse)
+        return jnp.take(out, br, axis=-2)
+    return _ntt_axis2(a, m, tw, br, nbatch)
+
+
 def ntt4_mont(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_inv):
     """Four-step NTT of Montgomery-form values. a: (16, ..., n) -> same."""
     spec = FR_SPEC
@@ -244,13 +259,13 @@ def ntt4_mont(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_
     lead = a.shape[:-1]
     a = a.reshape(lead + (n1, n2))
     # columns: NTT over i1 (length n1, root w^n2), lanes = i2 untouched
-    a = _ntt_axis2(a, n1, tw1, br1, nbatch)
+    a = _sub_ntt(a, n1, tw1, br1, nbatch, inverse)
     # cross twiddles w^(j1*i2), precomputed (no gather)
     w = crossT.reshape(crossT.shape[:1] + (1,) * nbatch + (n1, n2))
     a = limbs.mont_mul(spec, a, w)
     # rows: transpose so i2 rides the sublane axis, then NTT over i2
     a = jnp.swapaxes(a, -1, -2)  # (16, ..., n2, n1)
-    a = _ntt_axis2(a, n2, tw2, br2, nbatch)
+    a = _sub_ntt(a, n2, tw2, br2, nbatch, inverse)
     # layout is now (j2, j1); flattening gives X[j1 + n1*j2] — natural order
     a = a.reshape(lead + (n,))
     if inverse:

@@ -160,3 +160,193 @@ def msm_pallas(points_mont, scalars_raw, tile: int = 256):
     Returns (X, Y, Z) limb vectors (24,)."""
     partials = msm_pallas_partials(points_mont, scalars_raw, tile=tile)
     return _reduce_partials(partials)
+
+
+# -----------------------------------------------------------------------------
+# Fixed-base combo-table MSM (the DEFAULT commit path, ops/msm_fixed.py)
+# -----------------------------------------------------------------------------
+#
+# The production Horner loop (msm_fixed._msm_fixed_kernel) does, per scalar
+# bit: one 256-way table gather + one mixed add + one double over n/8 group
+# lanes. In XLA each step round-trips the (24, G) accumulator and the limb
+# intermediates through HBM; here the whole loop runs with the accumulator,
+# a G-lane tile of both tables, and the precomputed gather indices resident
+# in VMEM — HBM traffic is one table read total instead of per-bit.
+#
+# The scalar-bit -> table-index math (a lane-axis reshape Mosaic dislikes)
+# is hoisted OUT of the kernel into a tiny XLA pass over the scalars
+# (_fixed_indices): the kernel consumes a dense (256, G) int32 index plan.
+# Replays msm.rs:76-118's MSB-first window walk with the window set to the
+# 8-point group (msm.rs:107-115 is the Horner doubling being kept; the
+# bucket scatter is replaced by the subset-sum gather).
+
+
+GROUP8 = 8
+
+
+@jax.jit
+def _fixed_indices(scalars_raw):
+    """(16, 8G) raw 16-bit scalar limbs -> (256, G) int32 table indices,
+    row t = the gather index for Horner step t (MSB-first: bit 255 - t)."""
+    G = scalars_raw.shape[-1] // 8
+    # bits[b, k] = bit b of scalar k, b = 0..255 LSB-first
+    limb = jnp.repeat(scalars_raw, 16, axis=0)  # (256, 8G)
+    sh = jax.lax.broadcasted_iota(jnp.uint32, (256, 1), 0) % 16
+    bits = (limb >> sh) & 1
+    bits = bits[::-1]  # MSB-first rows
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP8), 2)
+    idx = jnp.sum(bits.reshape(256, G, GROUP8).astype(jnp.int32) << shifts, axis=-1)
+    return idx  # (256, G) in [0, 256)
+
+
+def _msm_fixed_tile_kernel(tx_ref, ty_ref, idx_ref, ox_ref, oy_ref, oz_ref, *, tile):
+    acc = g1_vec.pidentity((tile,))
+    tx = tx_ref[...].astype(jnp.uint32)  # (24, tile, 256)
+    ty = ty_ref[...].astype(jnp.uint32)
+
+    def step(t, acc):
+        gidx = idx_ref[t][None, :, None]  # (1, tile, 1)
+        qx = jnp.take_along_axis(tx, gidx, axis=2)[:, :, 0]
+        qy = jnp.take_along_axis(ty, gidx, axis=2)[:, :, 0]
+        acc = g1_vec.pdouble(acc)
+        added = g1_vec.padd_mixed(acc, (qx, qy))
+        is_id = limbs.is_zero(qx) & limbs.is_zero(qy)  # (0,0) identity marker
+        return g1_vec.pselect(is_id, acc, added)
+
+    acc = jax.lax.fori_loop(0, 256, step, acc)
+
+    # in-tile tree reduction to one point
+    m = tile
+    while m > 1:
+        half = m // 2
+        acc = g1_vec.padd(
+            tuple(c[:, :half] for c in acc), tuple(c[:, half : 2 * half] for c in acc)
+        )
+        m = half
+    L = FQ.L
+    ox_ref[...] = jnp.broadcast_to(acc[0].reshape(1, L, 1), (1, L, 128))
+    oy_ref[...] = jnp.broadcast_to(acc[1].reshape(1, L, 1), (1, L, 128))
+    oz_ref[...] = jnp.broadcast_to(acc[2].reshape(1, L, 1), (1, L, 128))
+
+
+def msm_fixed_pallas(tx, ty, scalars_raw, tile: int = 128):
+    """Fixed-base MSM over prebuilt subset-sum tables, fused in VMEM.
+
+    tx/ty: (24, G, 256) affine tables (uint16 or uint32, ops/msm_fixed.py
+    layout); scalars_raw: (16, 8G). Returns (X, Y, Z) limb tuple (24,).
+    VMEM/program at tile=128: ~3.2 MB of u16 tables + 128 KB of indices.
+    Step count is 256 (vs the XLA path's 255): the extra MSB step gathers
+    entry 0 = the identity marker for canonical scalars and doubles the
+    identity accumulator — a no-op kept for a static 16x16 bit grid."""
+    G = tx.shape[1]
+    t = min(tile, G)
+    assert G % t == 0
+    idx = _fixed_indices(scalars_raw)
+    L = FQ.L
+    kernel = functools.partial(_msm_fixed_tile_kernel, tile=t)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((G // t, L, 128), jnp.uint32)] * 3,
+        grid=(G // t,),
+        in_specs=[
+            pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
+            pl.BlockSpec((256, t), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+        ],
+        interpret=_interpret(),
+    )(tx, ty, idx)
+    return _reduce_partials(tuple(o[:, :, 0].T for o in outs))
+
+
+# -----------------------------------------------------------------------------
+# NTT sub-transform (the four-step building block, ops/ntt.py)
+# -----------------------------------------------------------------------------
+#
+# One fused kernel runs ALL log2(m) Pease butterfly stages of a length-m
+# sub-NTT along the sublane axis with the data tile resident in VMEM —
+# the XLA path writes the full array to HBM after every stage. Per-stage
+# twiddles are precomputed as a (logm, L, m/2) table (leading-axis dynamic
+# slice per stage; no in-kernel gather). Output is bit-reversed; the
+# caller applies the row-gather permutation (cheap at row granularity).
+# Replaces the stage loop of utils.rs:63-129's O(n^2) DFT equivalent.
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(m: int, inverse: bool):
+    """(logm, 16, m/2) per-stage Pease twiddle table for a length-m sub-NTT
+    over the primitive m-th root (stage s entry j = w^((j >> s) << s))."""
+    from ..fields import fr
+    from .ntt import FR_SPEC
+
+    root = fr.root_of_unity(m)
+    if inverse:
+        root = pow(root, fr.Q - 2, fr.Q)
+    half = m // 2
+    pw = [1] * half
+    for i in range(1, half):
+        pw[i] = pw[i - 1] * root % fr.Q
+    logm = m.bit_length() - 1
+    rows = []
+    for s in range(logm):
+        rows.append([pw[(j >> s) << s] for j in range(half)])
+    import numpy as _np
+
+    return _np.stack([FR_SPEC.pack_mont(r) for r in rows])  # (logm, 16, half)
+
+
+def _ntt_sub_kernel(spec, a_ref, tws_ref, o_ref, *, m):
+    logm = m.bit_length() - 1
+    half = m // 2
+    a = a_ref[...]  # (16, m, B)
+
+    def stage(s, a):
+        u = a[:, :half, :]
+        v = a[:, half:, :]
+        w = tws_ref[s][:, :, None]  # (16, half, 1)
+        A = limbs.add_mod(spec, u, v)
+        Bv = limbs.mont_mul(spec, limbs.sub_mod(spec, u, v), w)
+        return jnp.stack([A, Bv], axis=-2).reshape(a.shape)
+
+    o_ref[...] = jax.lax.fori_loop(0, logm, stage, a)
+
+
+def ntt_sub_pallas(a, inverse: bool, lanes_tile: int | None = None):
+    """Pease NTT along axis -2, all stages fused in one VMEM-resident
+    kernel. a: (16, m, B) Montgomery -> (16, m, B) in BIT-REVERSED row
+    order (caller applies the br row gather). B must be a multiple of the
+    lane tile (default sized so one block is <= ~2 MB)."""
+    from .ntt import FR_SPEC
+
+    L, m, B = a.shape
+    if m == 1:
+        return a
+    if lanes_tile is None:
+        # Mosaic requires the lane-axis block to be a multiple of 128 (or
+        # all of B); VMEM budget: the block is 64*m*t bytes and the
+        # in-kernel mont_mul stack peaks at ~9x that (measured: a
+        # (16, 256, 256) block = 4 MB OOMed at a 36.6 MB scoped
+        # allocation vs the 16 MB limit) -> the compiled path fits up to
+        # m = 128 at t = 128. Larger m only runs in interpreter mode
+        # (tests) unless the caller tiles explicitly.
+        lanes_tile = 128 if B >= 128 else B
+    t = min(lanes_tile, B)
+    assert B % t == 0
+    tws = jnp.asarray(_stage_twiddles(m, inverse))
+    logm = m.bit_length() - 1
+    kernel = functools.partial(_ntt_sub_kernel, FR_SPEC, m=m)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, m, B), jnp.uint32),
+        grid=(B // t,),
+        in_specs=[
+            pl.BlockSpec((L, m, t), lambda i: (0, 0, i)),
+            pl.BlockSpec((logm, L, m // 2), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L, m, t), lambda i: (0, 0, i)),
+        interpret=_interpret(),
+    )(a, tws)

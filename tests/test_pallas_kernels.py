@@ -37,3 +37,47 @@ def test_msm_pallas_matches_host():
     out = pk.msm_pallas(dev, sc, tile=8)
     got = g1_vec.point_from_device(out)
     assert got == msm_host.msm(pts, scalars)
+
+
+def test_msm_fixed_pallas_matches_host():
+    """The DEFAULT commit path's Horner loop, fused: prebuilt subset-sum
+    tables + the VMEM-resident 256-step gather/double/mixed-add kernel."""
+    from baby_plonk_tpu.ops import msm_fixed
+
+    n = 64  # 8 groups -> G = 8, two tiles at tile=4
+    pts = [G1.generator() * rng.randrange(1, fr.Q) for _ in range(n)]
+    scalars = [rng.randrange(fr.Q) for _ in range(n)]
+    scalars[0] = 0
+    scalars[9] = 1
+    dev = g1_vec.points_to_device(pts)
+    tx, ty = msm_fixed._build_tables(*dev)
+    sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+    out = pk.msm_fixed_pallas(tx, ty, sc, tile=4)
+    got = g1_vec.point_from_device(out)
+    assert got == msm_host.msm(pts, scalars)
+
+
+def test_ntt_sub_pallas_matches_xla():
+    """Fused all-stages sub-NTT kernel vs the production four-step path."""
+    from baby_plonk_tpu.ops import ntt as ntt_ops
+
+    m, B = 16, 16
+    vals = [rng.randrange(fr.Q) for _ in range(m * B)]
+    a = jnp.asarray(ntt_ops.FR_SPEC.pack_mont(vals)).reshape(16, B, m)
+    a = jnp.swapaxes(a, -1, -2)  # (16, m, B): columns are length-m signals
+    out = pk.ntt_sub_pallas(a, inverse=False, lanes_tile=8)
+    br = ntt_ops._bit_reverse_perm(m)
+    out = jnp.take(out, jnp.asarray(br), axis=-2)  # undo bit-reversal
+    got = np.asarray(jnp.swapaxes(out, -1, -2)).reshape(16, m * B)
+    # reference: per-column host NTT of length m
+    root = fr.root_of_unity(m)
+    for col in range(B):
+        sig = vals[col * m : (col + 1) * m]
+        want = [
+            sum(sig[i] * pow(root, i * j, fr.Q) for i in range(m)) % fr.Q
+            for j in range(m)
+        ]
+        got_col = ntt_ops.FR_SPEC.unpack_mont(
+            got.reshape(16, B, m)[:, col, :]
+        )
+        assert got_col == want, f"column {col} mismatch"
