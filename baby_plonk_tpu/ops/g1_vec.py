@@ -75,6 +75,15 @@ def _sub(a, b):
     return limbs.sub_mod(FQ, a, b)
 
 
+# All G1 point arithmetic traces with the COMPACT product formulation:
+# point kernels are mul-dense (a table build or MSM fori body holds tens
+# of muls, hundreds per graph) — the flat form's ~35x HLO blow-up turned
+# their XLA compiles from ~60 s into >10 min — and they always run at
+# <= 2^14 lane widths, where compact and flat runtime are identical
+# (scripts/bench_montmul.py; the flat form's 1.9x win only appears on
+# 2^20-wide Fr field passes, which keep the flat default in ops/limbs.py).
+
+
 def _stackmul(lhs, rhs):
     """Batched Montgomery product of equal-length operand lists.
 
@@ -82,7 +91,8 @@ def _stackmul(lhs, rhs):
     covers the whole dependency stage."""
     a = jnp.stack(lhs, axis=1)
     b = jnp.stack(rhs, axis=1)
-    out = limbs.mont_mul(FQ, a, b)
+    with limbs.compact_mul():
+        out = limbs.mont_mul(FQ, a, b)
     return [out[:, i] for i in range(len(lhs))]
 
 
@@ -90,13 +100,15 @@ def _stackmul_wide(lhs, rhs):
     """Batched full products WITHOUT reduction (lazy-reduction inputs)."""
     a = jnp.stack(lhs, axis=1)
     b = jnp.stack(rhs, axis=1)
-    out = limbs.mul_wide_nored(FQ, a, b)
+    with limbs.compact_mul():
+        out = limbs.mul_wide_nored(FQ, a, b)
     return [out[:, i] for i in range(len(lhs))]
 
 
 def _stackreduce(wides):
     """One batched Montgomery reduction for a list of wide values."""
-    out = limbs.mont_reduce_wide(FQ, jnp.stack(wides, axis=1))
+    with limbs.compact_mul():
+        out = limbs.mont_reduce_wide(FQ, jnp.stack(wides, axis=1))
     return [out[:, i] for i in range(len(wides))]
 
 
@@ -253,9 +265,10 @@ def batch_normalize(p):
     (0, 0) marker."""
     X, Y, Z = p
     shape = Z.shape
-    zinv = limbs.batch_inverse(FQ, Z.reshape(FQ.L, -1)).reshape(shape)
-    x = limbs.mont_mul(FQ, X, zinv)
-    y = limbs.mont_mul(FQ, Y, zinv)
+    with limbs.compact_mul():
+        zinv = limbs.batch_inverse(FQ, Z.reshape(FQ.L, -1)).reshape(shape)
+        x = limbs.mont_mul(FQ, X, zinv)
+        y = limbs.mont_mul(FQ, Y, zinv)
     return (x, y)
 
 

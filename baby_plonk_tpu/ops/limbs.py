@@ -332,6 +332,72 @@ def neg_mod(spec: FieldSpec, a):
     return jnp.where(is_zero(a), jnp.zeros_like(a), d)
 
 
+#: trace-time product-formulation switch (see _mul_cols). The FLAT form
+#: emits one expression per output limb — fastest at wide batches (1.9x on
+#: 2^20-lane mont_mul) but ~35x the HLO ops per product, which explodes
+#: XLA compile time on mul-DENSE graphs (a tiny fixed-base table build —
+#: hundreds of muls in one graph with the unrolled inversion addchain —
+#: went from ~60 s to >10 min of compile). The COMPACT form accumulates
+#: via slice+concat — ~15 HLO ops per row, proven round-2 compile times —
+#: at ~2x runtime on 2^20-wide pointwise ops (irrelevant inside the
+#: mul-dense kernels, which all run at <= 2^14 lanes where the forms tie).
+#: Mul-dense kernels opt in with `with limbs.compact_mul(): ...` at trace
+#: time (ops/msm_fixed.py, ops/srs.py, ops/msm.py).
+_COMPACT_MUL = False
+
+
+class compact_mul:
+    """Context manager: trace enclosed code with the compile-light compact
+    product formulation. Purely a trace-time switch — safe because each
+    jitted kernel traces under a fixed setting."""
+
+    def __enter__(self):
+        global _COMPACT_MUL
+        self._prev = _COMPACT_MUL
+        _COMPACT_MUL = True
+
+    def __exit__(self, *exc):
+        global _COMPACT_MUL
+        _COMPACT_MUL = self._prev
+
+
+def _slice_add(acc, start, p):
+    # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
+    # scatter, which Mosaic cannot lower and XLA updates by copy
+    stop = start + p.shape[0]
+    parts = []
+    if start > 0:
+        parts.append(acc[:start])
+    parts.append(acc[start:stop] + p)
+    if stop < acc.shape[0]:
+        parts.append(acc[stop:])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _mul_cols_compact(a, b, out_limbs: int, radix: int = 16):
+    """Compact form of _mul_cols: same raw column sums, built by La
+    slice+concat row accumulations over the (Lb,)-row partial products —
+    O(La) HLO ops total instead of O(La*Lb) (see _COMPACT_MUL note)."""
+    La = a.shape[0]
+    Lb = b.shape[0]
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    split = radix > 12
+    acc = jnp.zeros((out_limbs,) + shape, dtype=U32)
+    for i in range(La):
+        w = min(Lb, out_limbs - i)
+        if w <= 0:
+            break
+        p = a[i : i + 1] * b  # exact: 16x16 -> 32 bits (or 24 for radix 12)
+        if not split:
+            acc = _slice_add(acc, i, p[:w])
+            continue
+        acc = _slice_add(acc, i, p[:w] & MASK16)
+        w2 = min(Lb, out_limbs - i - 1)
+        if w2 > 0:
+            acc = _slice_add(acc, i + 1, p[:w2] >> 16)
+    return acc
+
+
 def _mul_cols(a, b, out_limbs: int, radix: int = 16):
     """Raw column sums of the schoolbook product — NOT carry-normalized.
 
@@ -341,13 +407,15 @@ def _mul_cols(a, b, out_limbs: int, radix: int = 16):
     < 2^16 after the lo/hi split; radix <= 12 skips the split — raw
     24-bit products, sums < 2^30 for <= 32 terms).
 
-    This is one flat expression per output limb (static row indexing, a
-    pairwise add tree, one stack) so XLA compiles the whole product into
-    a single loop fusion. The previous formulation accumulated via
-    sequential slice+concat updates, which materialized the full-width
-    accumulator per step — ~2x wall-clock on 2^20-element batches even
-    after fusion (measured: scripts/bench_montmul.py).
+    Default (flat) form: one expression per output limb (static row
+    indexing, a pairwise add tree, one stack) so XLA compiles the whole
+    product into a single loop fusion — ~2x wall-clock over the compact
+    form on 2^20-element batches (measured: scripts/bench_montmul.py).
+    Under `compact_mul()` the slice+concat form is used instead (35x
+    fewer HLO ops; for mul-dense graphs whose compile time explodes).
     """
+    if _COMPACT_MUL:
+        return _mul_cols_compact(a, b, out_limbs, radix)
     La = a.shape[0]
     Lb = b.shape[0]
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
