@@ -52,10 +52,15 @@ def main():
     sc_ints = [rng.randrange(fr.Q) for _ in range(n)]
     sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
 
-    # calibrate dispatch round-trip latency
-    t0 = time.time()
+    # calibrate dispatch round-trip latency (warm the kernel first — a
+    # single cold sample includes the jit compile and overstates the
+    # latency ~50x, zeroing every subtraction downstream)
     sync(px + 0)
-    lat = time.time() - t0
+    lat = 1e30
+    for _ in range(5):
+        t0 = time.time()
+        sync(px + 0)
+        lat = min(lat, time.time() - t0)
     log(f"sync latency: {lat*1e3:.1f} ms")
 
     results = {}
