@@ -20,11 +20,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def worker(pid: int, port: int) -> None:
+    import faulthandler
+
+    faulthandler.enable()
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
     ).strip()
+    sys.path.insert(0, REPO)
+    from baby_plonk_tpu.utils import jaxcache
+
+    jaxcache.enable()  # warm reruns: the 2-process full prove is compile-bound
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -68,6 +75,41 @@ def worker(pid: int, port: int) -> None:
         assert got == want, f"column {i} mismatch on process {pid}"
     print(f"process {pid}: prove_step_sharded over 2-process mesh OK", flush=True)
 
+    if os.environ.get("BPT_SMOKE_FULL", "1") == "1":
+        _full_prove(pid, mesh)
+
+
+def _full_prove(pid: int, mesh) -> None:
+    """Full 5-round MeshEngine prove + verify with the collectives crossing
+    the 2-process boundary; byte-equality vs the single-process host oracle
+    (same fixed blinding). Catches DCN-path regressions (e.g. in dscan's
+    all_gather folding) that the single prove_step above cannot."""
+    from baby_plonk_tpu import circuits
+    from baby_plonk_tpu.ops.engine import HostEngine
+    from baby_plonk_tpu.parallel.mesh_engine import MeshEngine
+    from baby_plonk_tpu.protocol.program import Program
+    from baby_plonk_tpu.protocol.prover import Prover
+    from baby_plonk_tpu.protocol.setup import Setup
+    from baby_plonk_tpu.protocol.verifier import Verifier
+
+    n = 64
+    constraints, witness, public = circuits.mul_chain(n)
+    setup = Setup.generate_srs(n + 6, tau=777, cache=False)
+    program = Program.from_strs(constraints, n)
+    blinding = list(range(1, 12))
+    p_host = Prover(setup, program, engine=HostEngine()).prove(
+        witness, blinding=blinding
+    )
+    p_mesh = Prover(setup, program, engine=MeshEngine(mesh)).prove(
+        witness, blinding=blinding
+    )
+    assert p_host.to_bytes() == p_mesh.to_bytes(), (
+        f"process {pid}: mesh proof bytes diverge from host oracle"
+    )
+    assert Verifier(setup, program, p_mesh).verify(public)
+    print(f"process {pid}: full 5-round MeshEngine prove over 2 processes OK",
+          flush=True)
+
 
 def main() -> int:
     import socket
@@ -76,20 +118,32 @@ def main() -> int:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     env = dict(os.environ, PYTHONPATH=REPO)
+    logs = [open(f"/tmp/multihost_worker{pid}.log", "w") for pid in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), str(pid), str(port)],
+            [sys.executable, "-u", os.path.abspath(__file__), str(pid), str(port)],
             env=env,
+            stdout=logs[pid],
+            stderr=subprocess.STDOUT,
         )
         for pid in range(2)
     ]
     rc = 0
     for p in procs:
         try:
-            rc |= p.wait(timeout=600)
+            # the FULL 5-round 2-process prove is XLA-CPU-compile-bound:
+            # ~45 min cold, minutes warm (workers enable the persistent
+            # compile cache). Every earlier "crash" of this script was in
+            # fact this parent timeout killing worker 0 mid-compile.
+            rc |= p.wait(timeout=int(os.environ.get("BPT_SMOKE_TIMEOUT", "3600")))
         except subprocess.TimeoutExpired:
             p.kill()
             rc |= 1
+    for pid, f in enumerate(logs):
+        f.close()
+        with open(f.name) as fh:
+            out = fh.read()
+        sys.stdout.write(out[-4000:] if rc else out[-2000:])
     print("multihost smoke:", "OK" if rc == 0 else "FAILED")
     return rc
 
