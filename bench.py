@@ -2,13 +2,17 @@
 
 Prints exactly ONE JSON line to stdout:
   {"metric": "msm_g1_points_per_s", "value": N, "unit": "points/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "roofline_pct": P}
 
 where vs_baseline is the speedup of the device MSM over the host-side
 Pippenger oracle (the reference publishes no numbers — BASELINE.md — so
 the baseline is the host implementation of the reference's own algorithm,
-measured on this machine). Additional diagnostics (NTT throughput,
-per-op timings) go to stderr.
+measured on this machine), and roofline_pct positions the MSM against
+its own op-count model calibrated by a same-width mont_mul microbench
+(100% = the composite kernel runs at the bare-arithmetic throughput).
+The MSM uses DISTINCT points tau^i*G from a disk-cached device SRS, so
+the device/host agreement check exercises real per-point indexing.
+Additional diagnostics (NTT throughput, per-op timings) go to stderr.
 
 Sizes are env-tunable: BPT_BENCH_MSM_LOG2 (default 14),
 BPT_BENCH_NTT_LOG2 (default 16), BPT_BENCH_HOST_LOG2 (default 10).
@@ -153,11 +157,24 @@ def main():
     gx, gy = g.to_affine()
     from baby_plonk_tpu.ops.g1_vec import FQ_SPEC
 
-    # distinct points: tau^i * G precomputed cheaply via doubling chain on host
-    # (for throughput measurement the point values don't matter; use a mix)
-    px = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gx])), (1, msm_n))
-    py = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gy])), (1, msm_n))
-    pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, msm_n))
+    if fallback:
+        # CPU liveness path: tiled generator keeps the fallback cheap
+        px = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gx])), (1, msm_n))
+        py = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([gy])), (1, msm_n))
+        pz = jnp.tile(jnp.asarray(FQ_SPEC.pack_mont([1])), (1, msm_n))
+        pts_host = [g] * msm_n
+    else:
+        # DISTINCT points tau^i * G — the real commit-path workload; catches
+        # per-point gather/indexing bugs a tiled generator cannot. Generated
+        # on device and npz-disk-cached like any SRS (~one-time cost).
+        from baby_plonk_tpu.ops import srs as dsrs
+        from baby_plonk_tpu.protocol.setup import Setup
+
+        t0 = time.time()
+        bsetup = Setup.generate_srs_device(msm_n, tau=0xBE9C4)
+        px, py, pz = bsetup._tpu_cache
+        log(f"distinct-point SRS (cached after first run): {time.time()-t0:.2f}s")
+        pts_host = None  # materialized lazily for the anchor below
     sc_ints = [int.from_bytes(rng.bytes(31), "little") % fr.Q for _ in range(msm_n)]
     sc = jnp.asarray(msm_ops.FR_SPEC.pack_raw(sc_ints))
 
@@ -206,6 +223,55 @@ def main():
     msm_rate = msm_n / msm_dt
     log(f"MSM n=2^{msm_n.bit_length()-1}: {msm_dt*1e3:.1f} ms -> {msm_rate:.3e} points/s")
 
+    # ---- roofline position ---------------------------------------------------
+    # Scheduling-efficiency roofline: time the MSM's own inner-loop body
+    # (pdouble + table gather + mixed add, ops/msm_fixed.py) chained K
+    # times in one jit at the production width, project the full 255-step
+    # loop from it, and report predicted/measured. 100% = the end-to-end
+    # MSM (incl. chunking, the final tree reduction and dispatch/sync
+    # overhead) runs at its inner loop's pure compute speed.
+    roofline_pct = None
+    if not fallback:
+        from baby_plonk_tpu.ops import g1_vec as gv
+        from baby_plonk_tpu.ops import msm_fixed as mf
+
+        tx0, ty0 = tabs._chunk_tables(0)
+        G = tx0.shape[1]
+        K = 32
+        shifts0 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+        @jax.jit
+        def stepk(tx, ty, scalars):
+            acc = gv.pidentity((G,))
+            limb = scalars[0]
+            bits8 = ((limb >> 1) & 1).reshape(G, 8).astype(jnp.int32)
+            idx = jnp.sum(bits8 << shifts0, axis=-1)
+            gidx = idx[None, :, None]
+
+            def body(_, acc):
+                qx = jnp.take_along_axis(tx, gidx, axis=2)[:, :, 0].astype(jnp.uint32)
+                qy = jnp.take_along_axis(ty, gidx, axis=2)[:, :, 0].astype(jnp.uint32)
+                acc = gv.pdouble(acc)
+                return gv.padd_mixed(acc, (qx, qy))
+
+            return jax.lax.fori_loop(0, K, body, acc)
+
+        sc0 = sc[:, : 8 * G]
+        sync(stepk(tx0, ty0, sc0))
+        step_dt = 1e30
+        for _ in range(3):
+            t0 = time.time()
+            sync(stepk(tx0, ty0, sc0))
+            step_dt = min(step_dt, max(time.time() - t0 - lat, 1e-9))
+        nchunks = (msm_n + tabs.chunk - 1) // tabs.chunk
+        predicted = step_dt / K * 255 * nchunks
+        roofline_pct = min(100.0, 100.0 * predicted / msm_dt)
+        log(
+            f"MSM inner step at width {G}: {step_dt/K*1e3:.3f} ms/step; "
+            f"255 x {nchunks} chunks predict {predicted*1e3:.0f} ms "
+            f"-> scheduling roofline {roofline_pct:.0f}%"
+        )
+
     if os.environ.get("BPT_BENCH_BITSERIAL"):
         res = msm_ops._msm_kernel(px, py, pz, sc)
         sync(res)
@@ -218,7 +284,13 @@ def main():
         log(f"bit-serial MSM (same size): {bs_dt*1e3:.1f} ms -> {msm_n/bs_dt:.3e} points/s")
 
     # ---- host baseline (reference algorithm: serial Pippenger) --------------
-    pts_host = [g] * host_n
+    if pts_host is None:
+        from baby_plonk_tpu.ops import srs as dsrs
+
+        pts_host = dsrs.device_points_to_host(
+            tuple(c[:, :host_n] for c in (px, py, pz))
+        )
+    pts_host = pts_host[:host_n]
     sc_host = sc_ints[:host_n]
     t0 = time.time()
     want = msm_host.msm(pts_host, sc_host)
@@ -245,16 +317,15 @@ def main():
             "2^14 = 198 ms (8.27e4 points/s, vs_baseline ~46 at that size), "
             "2^16 = 799 ms; NTT 2^16 = 72 ms; warm 2^12 prove = 2.78 s."
         )
-    print(
-        json.dumps(
-            {
-                "metric": "msm_g1_points_per_s",
-                "value": round(msm_rate, 1),
-                "unit": "points/s",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "msm_g1_points_per_s",
+        "value": round(msm_rate, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 2),
+    }
+    if roofline_pct is not None:
+        line["roofline_pct"] = round(roofline_pct, 1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
