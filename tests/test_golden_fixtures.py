@@ -25,12 +25,18 @@ from baby_plonk_tpu.protocol.prover import Prover
 from baby_plonk_tpu.protocol.setup import Setup
 from baby_plonk_tpu.protocol.verifier import Verifier
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_proof.json")
+_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+#: golden_proof.json = the reference's 3-gate integration circuit;
+#: golden_proof_mul_chain.json = 23-gate multiply chain at group order 32
+#: whose variables each feed several gates — nontrivial sigma-permutation
+#: cycles through all three wire columns (program.rs:76-147), which the
+#: 3-gate circuit barely exercises. Regenerate: scripts/freeze_fixture.py.
+FIXTURES = ["golden_proof.json", "golden_proof_mul_chain.json"]
 
 
-@pytest.fixture(scope="module")
-def fix():
-    with open(FIXTURE) as f:
+@pytest.fixture(scope="module", params=FIXTURES)
+def fix(request):
+    with open(os.path.join(_DIR, request.param)) as f:
         return json.load(f)
 
 
@@ -68,4 +74,5 @@ def test_frozen_proof_bytes_verify(fix, reproved):
 def test_frozen_proof_rejects_wrong_public(fix, reproved):
     setup, program, _, _ = reproved
     proof = Proof.from_bytes(bytes.fromhex(fix["proof_hex"]))
-    assert not Verifier(setup, program, proof).verify([81])
+    wrong = [(fix["public"][0] + 1) % (2**255)]
+    assert not Verifier(setup, program, proof).verify(wrong)
