@@ -43,6 +43,22 @@ CHUNK = 1 << 14
 #: backends where sub-word gathers regress.
 TABLE_U16 = os.environ.get("BPT_MSM_TABLE_U16", "1") == "1"
 
+#: Table-lookup strategy for the Horner inner loop. The round-3 on-chip
+#: A/B proved the loop is GATHER-bound (doublings are cheap: S=3/5
+#: segmented tables lost 2.5x despite fewer doubles) — so the lever is
+#: the lookup itself:
+#:   gather2  — two take_along_axis gathers (x table, y table) per step
+#:              over the minor (table-entry) axis;   [round-3 default]
+#:   gather1  — ONE gather over a single interleaved (48, G, 256) table:
+#:              same bytes fetched, half the gather ops;
+#:   onehot   — NO gather: tables stored (48, 256, G), lookup = masked
+#:              select + sum over the 256 sublane axis. Streams the whole
+#:              table from HBM each step (sequential, VPU-friendly)
+#:              instead of random access; exact in uint16 because the
+#:              mask is one-hot.
+#: Selected via BPT_MSM_LOOKUP; A/B with scripts/bench_msm_lookup.py.
+LOOKUP = os.environ.get("BPT_MSM_LOOKUP", "gather2")
+
 #: Horner segments (shifted-table variant, below). S > 1 stores S table
 #: sets — segment j holds subset sums of 2^(j*255/S) * P — and runs a
 #: 255/S-iteration Horner loop with S gathers + S mixed adds but only ONE
@@ -136,6 +152,72 @@ def _msm_fixed_kernel(tx, ty, scalars):
     return g1_vec.tree_reduce(acc)
 
 
+@jax.jit
+def _msm_fixed_kernel_i(t, scalars):
+    """Interleaved single-gather variant: t is ONE (48, G, 256) affine
+    table (x limbs stacked over y limbs), so each Horner step issues one
+    take_along_axis instead of two — half the gather ops for the same
+    fetched bytes (the round-3 A/B showed the loop is gather-bound)."""
+    G = t.shape[1]
+    acc = g1_vec.pidentity((G,))
+
+    def step(i, acc):
+        bit = BITS - 1 - i  # MSB-first Horner
+        limb = jax.lax.dynamic_index_in_dim(
+            scalars, bit >> 4, axis=0, keepdims=False
+        )
+        b = (limb >> (bit & 15).astype(jnp.uint32)) & 1  # (8G,)
+        bits8 = b.reshape(G, GROUP).astype(jnp.int32)
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+        idx = jnp.sum(bits8 << shifts, axis=-1)  # (G,) in [0, 256)
+        q = jnp.take_along_axis(t, idx[None, :, None], axis=2)[:, :, 0].astype(
+            jnp.uint32
+        )
+        qx, qy = q[:24], q[24:]
+        acc = g1_vec.pdouble(acc)
+        added = g1_vec.padd_mixed(acc, (qx, qy))
+        is_id = limbs.is_zero(qx) & limbs.is_zero(qy)
+        return g1_vec.pselect(is_id, acc, added)
+
+    acc = jax.lax.fori_loop(0, BITS, step, acc)
+    return g1_vec.tree_reduce(acc)
+
+
+@jax.jit
+def _msm_fixed_kernel_oh(t, scalars):
+    """One-hot (gather-free) variant: t is (48, 256, G); the per-step
+    lookup is a broadcast equality mask + masked sum over the 256-entry
+    sublane axis — sequential streaming of the table instead of random
+    access. The sum is exact in uint16 because exactly one mask entry per
+    lane is set."""
+    G = t.shape[2]
+    NB = t.shape[1]
+    acc = g1_vec.pidentity((G,))
+    entry = jax.lax.broadcasted_iota(jnp.int32, (1, NB, 1), 1)
+
+    def step(i, acc):
+        bit = BITS - 1 - i
+        limb = jax.lax.dynamic_index_in_dim(
+            scalars, bit >> 4, axis=0, keepdims=False
+        )
+        b = (limb >> (bit & 15).astype(jnp.uint32)) & 1  # (8G,)
+        bits8 = b.reshape(G, GROUP).astype(jnp.int32)
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+        idx = jnp.sum(bits8 << shifts, axis=-1)  # (G,)
+        mask = entry == idx[None, None, :]  # (1, 256, G) one-hot
+        q = jnp.sum(
+            jnp.where(mask, t, jnp.zeros((), t.dtype)), axis=1
+        ).astype(jnp.uint32)  # (48, G)
+        qx, qy = q[:24], q[24:]
+        acc = g1_vec.pdouble(acc)
+        added = g1_vec.padd_mixed(acc, (qx, qy))
+        is_id = limbs.is_zero(qx) & limbs.is_zero(qy)
+        return g1_vec.pselect(is_id, acc, added)
+
+    acc = jax.lax.fori_loop(0, BITS, step, acc)
+    return g1_vec.tree_reduce(acc)
+
+
 import functools as _functools
 
 
@@ -198,6 +280,7 @@ class FixedBaseTables:
         chunk: int = CHUNK,
         segments: int | None = None,
         cache_key: str | None = None,
+        lookup: str | None = None,
     ):
         self.px, self.py, self.pz = points_mont
         self.n = self.px.shape[-1]
@@ -205,8 +288,11 @@ class FixedBaseTables:
         self.chunk = chunk
         self.segments = SEGMENTS if segments is None else segments
         assert BITS % self.segments == 0, "segments must divide 255"
+        self.lookup = LOOKUP if lookup is None else lookup
+        assert self.lookup in ("gather2", "gather1", "onehot")
         self.cache_key = cache_key if os.environ.get("BPT_FBT_CACHE", "1") == "1" else None
         self._tables: dict[int, tuple] = {}
+        self._fmt_tables: dict[int, object] = {}
 
     def _cache_path(self, ci: int) -> str | None:
         if self.cache_key is None:
@@ -266,6 +352,25 @@ class FixedBaseTables:
         self._tables[ci] = t
         return t
 
+    def _chunk_tables_fmt(self, ci: int):
+        """Per-lookup-strategy device layout of chunk ci's tables.
+
+        The disk cache stays in the v1 (24, G, 256) x2 layout; gather1/
+        onehot relayouts happen once per process per chunk on device (a
+        transpose/concat, trivial next to the build)."""
+        t = self._fmt_tables.get(ci)
+        if t is not None:
+            return t
+        tx, ty = self._chunk_tables(ci)
+        if self.lookup == "gather1":
+            t = jnp.concatenate([tx, ty], axis=0)  # (48, G, 256)
+        elif self.lookup == "onehot":
+            t = jnp.swapaxes(jnp.concatenate([tx, ty], axis=0), 1, 2)  # (48, 256, G)
+        else:
+            t = (tx, ty)
+        self._fmt_tables[ci] = t
+        return t
+
     def msm(self, scalars_raw):
         """MSM of the first k points against scalars_raw (16, k), k <= n.
         Returns the (X, Y, Z) limb tuple (24,)."""
@@ -284,7 +389,6 @@ class FixedBaseTables:
                     [sc, jnp.zeros((16, self.chunk - (hi - lo)), dtype=jnp.uint32)],
                     axis=-1,
                 )
-            tx, ty = self._chunk_tables(ci)
             if self.segments == 1:
                 from ..config import get_config
 
@@ -292,10 +396,16 @@ class FixedBaseTables:
                     # fused VMEM-resident Horner loop (BPT_MSM=pallas-fixed)
                     from . import pallas_kernels
 
+                    tx, ty = self._chunk_tables(ci)
                     parts.append(pallas_kernels.msm_fixed_pallas(tx, ty, sc))
+                elif self.lookup == "gather1":
+                    parts.append(_msm_fixed_kernel_i(self._chunk_tables_fmt(ci), sc))
+                elif self.lookup == "onehot":
+                    parts.append(_msm_fixed_kernel_oh(self._chunk_tables_fmt(ci), sc))
                 else:
-                    parts.append(_msm_fixed_kernel(tx, ty, sc))
+                    parts.append(_msm_fixed_kernel(*self._chunk_tables_fmt(ci), sc))
             else:
+                tx, ty = self._chunk_tables(ci)
                 parts.append(_msm_seg_kernel(tx, ty, sc))
         if len(parts) == 1:
             return parts[0]
