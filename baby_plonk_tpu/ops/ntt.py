@@ -245,6 +245,10 @@ def _sub_ntt(a, m: int, tw, br, nbatch: int, inverse: bool):
     if _SUB_IMPL == "pallas" and nbatch == 0 and m > 1:
         from . import pallas_kernels
 
+        if m > pallas_kernels.SUB_MAX_M:
+            # recursive four-step: two VMEM-sized fused passes, natural
+            # output order (no br fixup needed)
+            return pallas_kernels.ntt_sub_pallas_4step(a, inverse)
         out = pallas_kernels.ntt_sub_pallas(a, inverse)
         return jnp.take(out, br, axis=-2)
     return _ntt_axis2(a, m, tw, br, nbatch)

@@ -299,6 +299,13 @@ def _stage_twiddles(m: int, inverse: bool):
     return _np.stack([FR_SPEC.pack_mont(r) for r in rows])  # (logm, 16, half)
 
 
+#: largest m whose fused single-kernel sub-NTT fits VMEM on the compiled
+#: Mosaic path (the in-kernel mont_mul temporary stack peaks ~9x the
+#: (16, m, 128) block; measured OOM at m = 256). Beyond this,
+#: ntt_sub_pallas_4step recurses: m = m1*m2 with both factors <= this.
+SUB_MAX_M = 128
+
+
 def _ntt_sub_kernel(spec, a_ref, tws_ref, o_ref, *, m):
     logm = m.bit_length() - 1
     half = m // 2
@@ -350,3 +357,46 @@ def ntt_sub_pallas(a, inverse: bool, lanes_tile: int | None = None):
         out_specs=pl.BlockSpec((L, m, t), lambda i: (0, 0, i)),
         interpret=_interpret(),
     )(a, tws)
+
+
+@functools.lru_cache(maxsize=None)
+def _sub4_plan_device(m: int, inverse: bool):
+    """Device-resident four-step pieces of ops/ntt.py::_plan4 for length m:
+    (m1, m2, crossT (16, m1, m2), br1, br2)."""
+    from .ntt import _plan4
+
+    m1, m2, tw1, tw2, crossT, br1, br2, _ = _plan4(m, inverse)
+    return m1, m2, jnp.asarray(crossT), jnp.asarray(br1), jnp.asarray(br2)
+
+
+def ntt_sub_pallas_4step(a, inverse: bool):
+    """Length-m sub-NTT along axis -2 in NATURAL output order, for m past
+    the single-kernel VMEM limit (SUB_MAX_M): four-step m = m1*m2 whose
+    two sub-passes are the fused Pallas kernel at VMEM-friendly sizes
+    (m = 1024 -> two fused 32-point passes over 32x the lanes), with the
+    cross-twiddle mont_mul and the (m1, m2) transpose left to XLA — both
+    are row-granular and cheap; the butterfly stages (the HBM-round-trip
+    cost in the XLA path) stay VMEM-resident.
+
+    a: (16, m, B) Montgomery -> (16, m, B). Production shape: the 2^20
+    four-step's m = 1024 factor (ops/ntt.py::ntt4_mont), which the plain
+    ntt_sub_pallas cannot compile (its (16, 1024, 128) block alone is
+    8 MB before the ~9x mont_mul temporary stack)."""
+    from .ntt import FR_SPEC
+
+    L, m, B = a.shape
+    m1, m2, crossT, br1, br2 = _sub4_plan_device(m, inverse)
+    assert m1 <= SUB_MAX_M and m2 <= SUB_MAX_M, (
+        f"m={m} needs factors beyond one four-step level"
+    )
+    # NTT over i1 (length m1), lanes = (i2, b)
+    a = ntt_sub_pallas(a.reshape(L, m1, m2 * B), inverse)
+    a = jnp.take(a, br1, axis=-2).reshape(L, m1, m2, B)
+    # cross twiddles w^(j1*i2)
+    a = limbs.mont_mul(FR_SPEC, a, crossT[:, :, :, None])
+    # NTT over i2 (length m2), lanes = (j1, b)
+    a = jnp.swapaxes(a, 1, 2).reshape(L, m2, m1 * B)
+    a = ntt_sub_pallas(a, inverse)
+    a = jnp.take(a, br2, axis=-2)
+    # (j2, j1) row-major flatten = index j1 + m1*j2 = natural order
+    return a.reshape(L, m, B)

@@ -57,6 +57,27 @@ def test_msm_fixed_pallas_matches_host():
     assert got == msm_host.msm(pts, scalars)
 
 
+def test_ntt_sub_pallas_4step_matches_xla(monkeypatch):
+    """The recursive four-step sub-NTT (m past the VMEM limit) must equal
+    the XLA stage loop in natural order; SUB_MAX_M is patched down so the
+    recursion triggers at an interpreter-friendly size."""
+    from baby_plonk_tpu.ops import ntt as ntt_ops
+
+    monkeypatch.setattr(pk, "SUB_MAX_M", 8)
+    m, B = 64, 4  # factors 8 x 8 under the patched limit
+    vals = [[rng.randrange(fr.Q) for _ in range(m)] for _ in range(B)]
+    a = jnp.asarray(
+        np.stack([ntt_ops.FR_SPEC.pack_mont(v) for v in vals], axis=-1)
+    )  # (16, m, B)
+    for inverse in (False, True):
+        perm, tw, _ = ntt_ops._plan(m, inverse)
+        want = ntt_ops._ntt_axis2(
+            a, m, jnp.asarray(tw), jnp.asarray(perm), nbatch=0
+        )
+        got = pk.ntt_sub_pallas_4step(a, inverse)
+        assert jnp.array_equal(want, got), f"inverse={inverse}"
+
+
 def test_ntt_sub_pallas_matches_xla():
     """Fused all-stages sub-NTT kernel vs the production four-step path."""
     from baby_plonk_tpu.ops import ntt as ntt_ops
