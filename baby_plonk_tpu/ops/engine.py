@@ -51,6 +51,10 @@ class HostEngine:
     def commit(self, setup, polynomial):
         return setup.commit(polynomial)
 
+    def commit_many(self, setup, polys):
+        """Batched variant (one device round-trip on the TPU engine)."""
+        return [self.commit(setup, p) for p in polys]
+
     def eval_polys(self, polys, x: int) -> list[int]:
         """Evaluate monomial polys at x (the TPU engine batches this)."""
         return [p.eval(x) for p in polys]

@@ -213,6 +213,48 @@ class TpuEngine:
         sc = jnp.asarray(FR_SPEC.pack_raw(values))
         return g1_vec.point_from_device(self._commit_arrays(setup, sc))
 
+    def commit_many(self, setup, polys):
+        """k commitments with ONE host<->device round trip: every MSM is
+        dispatched asynchronously, then all k results fetch in a single
+        batched transfer + one Fq batch inversion. Through a high-latency
+        link (the tunneled chip) this turns k*(dispatch+sync+invert) into
+        k dispatches + 1 sync — the difference between the verifier's 8
+        preprocessed commits (verifier.rs:60-70) costing ~2 s and ~0.2 s."""
+        from ..curves.g1 import G1
+        from ..protocol.poly import Basis
+        from .dpoly import DPoly
+        from . import srs as srs_mod
+
+        parts: list = []
+        for p in polys:
+            assert p.basis == Basis.MONOMIAL
+            if isinstance(p, DPoly):
+                k = p.vals.shape[-1]
+                assert k <= setup.srs_len()
+                if setup._tpu_cache is None:
+                    setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
+                raw = _from_mont_jit(p.vals)
+            else:
+                values = list(p.values)
+                while values and values[-1] == 0:
+                    values.pop()
+                if not values:
+                    parts.append(None)
+                    continue
+                assert len(values) <= setup.srs_len()
+                if setup._tpu_cache is None:
+                    setup._tpu_cache = g1_vec.points_to_device(setup.powers_of_x)
+                raw = jnp.asarray(FR_SPEC.pack_raw(values))
+            parts.append(self._commit_arrays(setup, raw))
+        live = [pt for pt in parts if pt is not None]
+        if not live:
+            return [G1.identity()] * len(parts)
+        stacked = tuple(
+            jnp.stack([pt[c] for pt in live], axis=-1) for c in range(3)
+        )
+        pts = iter(srs_mod.device_points_to_host(stacked))
+        return [G1.identity() if pt is None else next(pts) for pt in parts]
+
     def eval_polys(self, polys, x: int) -> list[int]:
         """One batched kernel + one transfer for k point-evaluations."""
         from .dpoly import DPoly, eval_many

@@ -81,18 +81,16 @@ def preprocessed_input(setup: Setup, program: Program, engine=None):
         return vpi
     cpi = program.common_preprocessed_input()
 
-    def commit_lagrange(p: Poly) -> G1:
-        return engine.commit(setup, Poly(engine.intt(p.values), Basis.MONOMIAL))
-
+    # one batched 8-wide iNTT + 8 async commits + ONE device round trip
+    # (the TPU engine's commit_many): naively this is 8 x (intt + commit +
+    # sync), which through a ~26 ms tunnel dominated the measured 1.86 s
+    # verify at 2^12 (the host pairing + Straus multiexp are ~60 ms)
+    lag = [cpi.ql, cpi.qr, cpi.qm, cpi.qo, cpi.qc, cpi.s1, cpi.s2, cpi.s3]
+    monos = engine.intt_polys([engine.poly(p.values, Basis.LAGRANGE) for p in lag])
+    ql, qr, qm, qo, qc, s1, s2, s3 = engine.commit_many(setup, monos)
     vpi = VerifierPreprocessedInput(
-        ql_1=commit_lagrange(cpi.ql),
-        qr_1=commit_lagrange(cpi.qr),
-        qm_1=commit_lagrange(cpi.qm),
-        qo_1=commit_lagrange(cpi.qo),
-        qc_1=commit_lagrange(cpi.qc),
-        s1_1=commit_lagrange(cpi.s1),
-        s2_1=commit_lagrange(cpi.s2),
-        s3_1=commit_lagrange(cpi.s3),
+        ql_1=ql, qr_1=qr, qm_1=qm, qo_1=qo, qc_1=qc,
+        s1_1=s1, s2_1=s2, s3_1=s3,
         x_2=setup.x_2,
     )
     cache[key] = vpi

@@ -71,8 +71,15 @@ def main():
         log(f"rounds: {get_metrics().report()}")
 
     t0 = time.time()
+    ver = Verifier(setup, program, proof, engine=engine)
+    log(f"verifier preprocess (8 commits, 1 round trip): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    ok = ver.verify(public)
+    log(f"verify: {time.time()-t0:.3f}s ok={ok}")
+    assert ok
+    t0 = time.time()
     ok = Verifier(setup, program, proof, engine=engine).verify(public)
-    log(f"verify: {time.time()-t0:.2f}s ok={ok}")
+    log(f"verify (vpi cached, steady state): {time.time()-t0:.3f}s ok={ok}")
     assert ok
 
     print(
