@@ -36,6 +36,12 @@ class Metrics:
     def count(self, name: str, inc: int = 1):
         self.counters[name] += inc
 
+    def reset(self):
+        """Zero the accumulators (e.g. between a cold and a warm prove so
+        the warm per-round breakdown isn't buried in cold compile time)."""
+        self.durations.clear()
+        self.counters.clear()
+
     def report(self) -> str:
         parts = [f"{k}={v*1e3:.1f}ms" for k, v in sorted(self.durations.items())]
         parts += [f"{k}={v}" for k, v in sorted(self.counters.items())]

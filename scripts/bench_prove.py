@@ -63,7 +63,7 @@ def main():
     if "--twice" in sys.argv:
         # second prove in-process: all kernels compiled, SRS tables cached
         # -> the steady-state per-proof cost (what a proving service pays)
-        get_metrics().reset() if hasattr(get_metrics(), "reset") else None
+        get_metrics().reset()
         t0 = time.time()
         proof = prover.prove(witness)
         prove_dt = time.time() - t0
