@@ -70,8 +70,8 @@ def _pow_table(z, n: int):
     """[1, z, z^2, ..., z^(n-1)] as (16, n), z Montgomery (16, 1)."""
     one = jnp.asarray(_SPEC.one_mont)
     seq = jnp.concatenate([one, jnp.broadcast_to(z, (16, n - 1))], axis=-1)
-    return jax.lax.associative_scan(
-        lambda x, y: limbs.mont_mul(_SPEC, x, y), seq, axis=-1
+    return limbs.doubling_scan(
+        seq, lambda x, y: limbs.mont_mul(_SPEC, x, y), _SPEC.one_mont
     )
 
 
@@ -88,8 +88,10 @@ def _reduce_add(x):
 @jax.jit
 def _suffix_sum_excl(x):
     """S[k] = sum_{t>k} x[t] along the last axis (exclusive suffix sum)."""
-    inc = jax.lax.associative_scan(
-        lambda a, b: limbs.add_mod(_SPEC, a, b), jnp.flip(x, axis=-1), axis=-1
+    inc = limbs.doubling_scan(
+        jnp.flip(x, axis=-1),
+        lambda a, b: limbs.add_mod(_SPEC, a, b),
+        np.zeros((16, 1), dtype=np.uint32),
     )
     inc = jnp.flip(inc, axis=-1)  # inclusive suffix
     zero = jnp.zeros((16, 1), dtype=jnp.uint32)

@@ -598,6 +598,25 @@ def mont_pow_fixed(spec: FieldSpec, a, exponent: int):
     return r
 
 
+def doubling_scan(x, combine, identity_const):
+    """Inclusive prefix-combine along the last axis via Hillis–Steele
+    doubling: log2(n) full-width combines, the shifted operand filled
+    with the identity. Replaces ``jax.lax.associative_scan`` on limb
+    arrays: the scan's odd/even interleave materializes (1, n)
+    temporaries whose TPU layout pads the size-1 dim to a 128-lane tile
+    (measured: 33.9 GB HBM demand for the 2^20 grand product, ~30 GB of
+    it padding). Here every temporary is a dense (L, ..., n) array.
+    ``identity_const`` is an (L, 1) host constant (e.g. spec.one_mont for
+    products, zeros for sums)."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        pad = const_limbs(identity_const, x.shape[:-1] + (k,))
+        x = combine(x, jnp.concatenate([pad, x[..., :-k]], axis=-1))
+        k <<= 1
+    return x
+
+
 def batch_inverse(spec: FieldSpec, a):
     """Elementwise modular inverse over the last axis (Montgomery in/out)
     with ONE field inversion — Montgomery's trick in parallel form:
@@ -611,13 +630,13 @@ def batch_inverse(spec: FieldSpec, a):
     nz = ~is_zero(a)
     safe = jnp.where(nz[None], a, one)
     mul = lambda x, y: mont_mul(spec, x, y)
-    inc = jax.lax.associative_scan(mul, safe, axis=-1)  # inclusive prefix
+    inc = doubling_scan(safe, mul, spec.one_mont)  # inclusive prefix
     total = inc[..., -1:]
     inv_total = mont_pow_fixed(spec, total, spec.modulus - 2)
     # exclusive prefix / suffix
     pre = jnp.concatenate([_bc(spec.one_mont, total), inc[..., :-1]], axis=-1)
     suf_inc = jnp.flip(
-        jax.lax.associative_scan(mul, jnp.flip(safe, axis=-1), axis=-1), axis=-1
+        doubling_scan(jnp.flip(safe, axis=-1), mul, spec.one_mont), axis=-1
     )
     suf = jnp.concatenate([suf_inc[..., 1:], _bc(spec.one_mont, total)], axis=-1)
     out = mul(mul(pre, inv_total), suf)

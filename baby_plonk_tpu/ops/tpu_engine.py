@@ -33,9 +33,20 @@ def _from_mont_jit(vals):
 
 
 def _scan_mul(x):
-    """Inclusive prefix product along the batch (last) axis (Montgomery form)."""
-    return jax.lax.associative_scan(
-        lambda a, b: limbs.mont_mul(FR_SPEC, a, b), x, axis=-1
+    """Inclusive prefix product along the batch (last) axis (Montgomery form).
+
+    Hillis–Steele doubling (log2(n) full-width mont_muls, shifted operand
+    filled with the Montgomery identity R) instead of
+    ``jax.lax.associative_scan``: the scan's internal odd/even interleave
+    materializes (1, n) temporaries whose TPU layout pads the size-1
+    dimension to a full 128-lane tile — at n = 2^20 the
+    _grand_product_full compile wanted 33.9 GB of HBM (15.75 available),
+    ~30 GB of it pure padding. The doubling scan only ever holds dense
+    (16, n) operands. Work is n log n vs the scan's ~2n multiplies, but
+    each step is one full-width vector op — measured comparable at small
+    n and compiling ~2x faster."""
+    return limbs.doubling_scan(
+        x, lambda a, b: limbs.mont_mul(FR_SPEC, a, b), FR_SPEC.one_mont
     )
 
 

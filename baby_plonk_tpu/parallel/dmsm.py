@@ -18,6 +18,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops import g1_vec, msm as dmsm_ops
 from .mesh import AXIS
+from ..utils.expcache import ejit
 
 
 def _local_then_gather(px, py, pz, scalars):
@@ -28,7 +29,7 @@ def _local_then_gather(px, py, pz, scalars):
     return g1_vec.tree_reduce(gathered)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@ejit(static_argnums=(4,))
 def _msm_sharded(px, py, pz, scalars, mesh):
     fn = jax.shard_map(
         _local_then_gather,
@@ -84,7 +85,7 @@ def _fb_build_local(px, py, pz):
     return msm_fixed._build_tables(px, py, pz)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@ejit(static_argnums=(3,))
 def build_tables_sharded(px, py, pz, mesh):
     """Build the per-group subset-sum tables with the SRS sharded over the
     mesh: each device builds (and later holds) only its own shard's tables
@@ -109,7 +110,7 @@ def _fb_msm_local(tx, ty, sc):
     return g1_vec.tree_reduce(gathered)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@ejit(static_argnums=(3,))
 def msm_fixed_sharded(tx, ty, scalars_raw, mesh):
     """Sharded fixed-base MSM: each device runs the Horner loop over its
     own table shard (width n/8D lanes), then the D projective partials

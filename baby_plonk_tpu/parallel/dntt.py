@@ -31,6 +31,7 @@ from ..fields import fr
 from ..ops import limbs, ntt as ntt_ops
 from ..ops.ntt import FR_SPEC
 from .mesh import AXIS
+from ..utils.expcache import ejit
 
 
 @functools.lru_cache(maxsize=None)
@@ -111,7 +112,7 @@ def _local_fourstep_dual(a, D, m, n, tw_full_inv, plan_D_inv, plan_m_inv):
     return a  # natural block-sharded x[i1*m + i2]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@ejit(static_argnums=(1,))
 def _dntt_dual_jit(a, mesh):
     """Inverse transform of `_dntt_jit(..., inverse=False, ...)` that takes
     the cyclic layout directly and emits natural block order."""
@@ -131,7 +132,7 @@ def _dntt_dual_jit(a, mesh):
     return fn(a)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@ejit(static_argnums=(1, 2))
 def _dntt_jit(a, inverse: bool, mesh):
     n = a.shape[-1]
     D = mesh.devices.size

@@ -25,6 +25,7 @@ from ..fields import fr
 from ..ops import limbs
 from ..ops.ntt import FR_SPEC
 from .mesh import AXIS
+from ..utils.expcache import ejit
 
 Q = fr.Q
 
@@ -34,7 +35,7 @@ def _mm(a, b):
 
 
 def _scan_mul_local(x):
-    return jax.lax.associative_scan(_mm, x, axis=-1)
+    return limbs.doubling_scan(x, _mm, FR_SPEC.one_mont)
 
 
 def _fold_totals(scan_loc, reverse: bool):
@@ -89,7 +90,7 @@ def _gp_part1_local(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma):
     return pf, pg, sufg
 
 
-@functools.partial(jax.jit, static_argnums=(11,))
+@ejit(static_argnums=(11,))
 def _gp_part1(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma, mesh):
     sh = P(None, AXIS)
     rep = P(None, None)
@@ -103,7 +104,7 @@ def _gp_part1(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma, mesh):
     return fn(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma)
 
 
-@jax.jit
+@ejit
 def _gp_part2(pf, sufg_shift, total_inv):
     return _mm(pf, _mm(sufg_shift, total_inv))
 

@@ -44,16 +44,17 @@ from ..ops.ntt import FR_SPEC
 from ..ops.tpu_engine import TpuEngine
 from . import dmsm, dntt, dscan
 from .mesh import AXIS, make_mesh
+from ..utils.expcache import ejit
 
 Q = fr.Q
 
 
-@jax.jit
+@ejit
 def _permute_last(x, idx):
     return jnp.take(x, idx, axis=-1)
 
 
-@jax.jit
+@ejit
 def _mm(a, b):
     return limbs.mont_mul(FR_SPEC, a, b)
 

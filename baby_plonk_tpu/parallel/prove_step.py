@@ -20,6 +20,7 @@ from ..ops import g1_vec, limbs, msm as msm_ops, ntt as ntt_ops
 from ..ops.ntt import FR_SPEC
 from . import dmsm, dntt
 from .mesh import AXIS
+from ..utils.expcache import ejit
 
 
 def cyclic_perm(n: int, D: int):
@@ -34,7 +35,7 @@ def cyclic_perm(n: int, D: int):
     return perm
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@ejit(static_argnums=(4,))
 def prove_step_sharded(cols, px, py, pz, mesh):
     """cols: (16, 3, n) witness columns a|b|c (block-sharded on n);
     px/py/pz: (24, n) SRS powers in cyclic order (sharded on n).
