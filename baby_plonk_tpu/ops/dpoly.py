@@ -28,6 +28,7 @@ from ..fields import fr
 from ..protocol.poly import Basis
 from . import limbs, ntt as ntt_ops
 from .ntt import FR_SPEC
+from ..utils.expcache import ejit
 
 Q = fr.Q
 _SPEC = FR_SPEC
@@ -45,27 +46,27 @@ def _next_pow2(n: int) -> int:
 # -----------------------------------------------------------------------------
 
 
-@jax.jit
+@ejit
 def _add(a, b):
     return limbs.add_mod(_SPEC, a, b)
 
 
-@jax.jit
+@ejit
 def _sub(a, b):
     return limbs.sub_mod(_SPEC, a, b)
 
 
-@jax.jit
+@ejit
 def _mul(a, b):
     return limbs.mont_mul(_SPEC, a, b)
 
 
-@jax.jit
+@ejit
 def _neg(a):
     return limbs.neg_mod(_SPEC, a)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@ejit(static_argnums=(1,))
 def _pow_table(z, n: int):
     """[1, z, z^2, ..., z^(n-1)] as (16, n), z Montgomery (16, 1)."""
     one = jnp.asarray(_SPEC.one_mont)
@@ -75,7 +76,7 @@ def _pow_table(z, n: int):
     )
 
 
-@jax.jit
+@ejit
 def _reduce_add(x):
     """Modular sum over the last axis (any leading dims); n must be a power of 2."""
     n = x.shape[-1]
@@ -85,7 +86,7 @@ def _reduce_add(x):
     return x
 
 
-@jax.jit
+@ejit
 def _suffix_sum_excl(x):
     """S[k] = sum_{t>k} x[t] along the last axis (exclusive suffix sum)."""
     inc = limbs.doubling_scan(
@@ -318,7 +319,7 @@ class DPoly:
         return f"DPoly({self.basis.name}, n={self.vals.shape[-1]})"
 
 
-@jax.jit
+@ejit
 def _eval_stack(vals, pw):
     """vals (16, k, m) coeffs, pw (16, m) power table -> (16, k, 1) sums."""
     return _reduce_add(_mul(vals, pw[:, None, :]))

@@ -35,6 +35,7 @@ import numpy as np
 from ..fields import fr
 from . import limbs, ntt as ntt_ops
 from .ntt import FR_SPEC
+from ..utils.expcache import ejit
 
 Q = fr.Q
 
@@ -51,7 +52,7 @@ def _sub(a, b):
     return limbs.sub_mod(FR_SPEC, a, b)
 
 
-@jax.jit
+@ejit
 def _scale_row(row, gpow):
     return _mm(row, gpow)
 
@@ -66,7 +67,7 @@ def _coset_ntt_fwd_row(row, gpow, perm_f, tw_f, ninv_f):
     return ntt_ops._ntt_jit(_scale_row(row, gpow), False, perm_f, tw_f, ninv_f)
 
 
-@jax.jit
+@ejit
 def _round3_combine_rows(
     aE, bE, cE, zE, zwE, s1E, s2E, s3E,
     qlE, qrE, qmE, qoE, qcE, piE, l1E,
@@ -101,7 +102,7 @@ def _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i):
     return _scale_row(ntt_ops._ntt_jit(tE, True, perm_i, tw_i, ninv_i), ginvpow)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@ejit(static_argnums=(0,))
 def _round3_kernel(
     n: int,
     stacked,      # (16, 15, m) monomial coeffs, m = 4n
@@ -170,7 +171,7 @@ def _round3_consts(m: int):
     return c
 
 
-@jax.jit
+@ejit
 def _any_nonzero(x):
     return jnp.any(x != 0)
 
@@ -264,7 +265,7 @@ def round3_quotient_device(
     return DPoly(t[:, : 3 * n + 6], Basis.MONOMIAL)
 
 
-@jax.jit
+@ejit
 def _linear_combine_kernel(stacked, coeffs, const):
     """sum_i coeffs[i] * stacked[:, i] + const*x^0.
 
