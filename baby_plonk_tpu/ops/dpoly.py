@@ -28,7 +28,6 @@ from ..fields import fr
 from ..protocol.poly import Basis
 from . import limbs, ntt as ntt_ops
 from .ntt import FR_SPEC
-from ..utils.expcache import ejit
 
 Q = fr.Q
 _SPEC = FR_SPEC
@@ -46,27 +45,27 @@ def _next_pow2(n: int) -> int:
 # -----------------------------------------------------------------------------
 
 
-@ejit
+@jax.jit
 def _add(a, b):
     return limbs.add_mod(_SPEC, a, b)
 
 
-@ejit
+@jax.jit
 def _sub(a, b):
     return limbs.sub_mod(_SPEC, a, b)
 
 
-@ejit
+@jax.jit
 def _mul(a, b):
     return limbs.mont_mul(_SPEC, a, b)
 
 
-@ejit
+@jax.jit
 def _neg(a):
     return limbs.neg_mod(_SPEC, a)
 
 
-@ejit(static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _pow_table(z, n: int):
     """[1, z, z^2, ..., z^(n-1)] as (16, n), z Montgomery (16, 1)."""
     one = jnp.asarray(_SPEC.one_mont)
@@ -76,7 +75,7 @@ def _pow_table(z, n: int):
     )
 
 
-@ejit
+@jax.jit
 def _reduce_add(x):
     """Modular sum over the last axis (any leading dims); n must be a power of 2."""
     n = x.shape[-1]
@@ -86,7 +85,7 @@ def _reduce_add(x):
     return x
 
 
-@ejit
+@jax.jit
 def _suffix_sum_excl(x):
     """S[k] = sum_{t>k} x[t] along the last axis (exclusive suffix sum)."""
     inc = limbs.doubling_scan(
@@ -114,6 +113,25 @@ def _pad_to(a, n: int):
     return jnp.concatenate(
         [a, jnp.zeros((16, n - cur), dtype=jnp.uint32)], axis=-1
     )
+
+
+def _slice_pad(vals, lo: int, width: int):
+    """vals[..., lo:lo+width], zero-padded on the right to exactly
+    ``width`` (used by the position-chunked kernels below)."""
+    n = vals.shape[-1]
+    if lo >= n:
+        return jnp.zeros(vals.shape[:-1] + (width,), dtype=jnp.uint32)
+    hi = min(lo + width, n)
+    part = vals[..., lo:hi]
+    if hi - lo < width:
+        part = jnp.concatenate(
+            [
+                part,
+                jnp.zeros(vals.shape[:-1] + (width - (hi - lo),), dtype=jnp.uint32),
+            ],
+            axis=-1,
+        )
+    return part
 
 
 class DPoly:
@@ -319,7 +337,7 @@ class DPoly:
         return f"DPoly({self.basis.name}, n={self.vals.shape[-1]})"
 
 
-@ejit
+@jax.jit
 def _eval_stack(vals, pw):
     """vals (16, k, m) coeffs, pw (16, m) power table -> (16, k, 1) sums."""
     return _reduce_add(_mul(vals, pw[:, None, :]))
@@ -328,13 +346,33 @@ def _eval_stack(vals, pw):
 def eval_many(polys: list[DPoly], x: int) -> list[int]:
     """Evaluate k monomial DPolys at one point with ONE kernel and ONE
     host transfer (the prover's round 4 does 6+ of these; prover.rs:502-541
-    evaluates them one at a time)."""
+    evaluates them one at a time).
+
+    Above BPT_EVAL_CHUNK positions (default 2^19) the evaluation runs in
+    position chunks of that width — p(x) = sum_c x^(c*W) * p_c(x) with
+    p_c the c-th coefficient block — bounding peak HBM at ~(16, k, W)
+    instead of padding everything to the next power of two (2^21-padded
+    stacks were part of the 2^20 prove's round-4 OOM)."""
     assert all(p.basis == Basis.MONOMIAL for p in polys)
     if not polys:
         return []
-    size = _next_pow2(max(p.vals.shape[-1] for p in polys))
-    stacked = jnp.stack([_pad_to(p.vals, size) for p in polys], axis=1)
-    pw = _pow_table(_pack_scalar(x), size)
-    out = _eval_stack(stacked, pw)  # (16, k, 1)
-    flat = np.asarray(jax.device_get(out))[:, :, 0]
+    import os as _os
+
+    L = max(p.vals.shape[-1] for p in polys)
+    size = _next_pow2(L)
+    W = int(_os.environ.get("BPT_EVAL_CHUNK", str(1 << 19)))
+    if size <= W:
+        stacked = jnp.stack([_pad_to(p.vals, size) for p in polys], axis=1)
+        pw = _pow_table(_pack_scalar(x), size)
+        out = _eval_stack(stacked, pw)  # (16, k, 1)
+        flat = np.asarray(jax.device_get(out))[:, :, 0]
+        return _SPEC.unpack_mont(flat)
+    pw = _pow_table(_pack_scalar(x), W)
+    acc = None
+    for lo in range(0, L, W):
+        chunk = jnp.stack([_slice_pad(p.vals, lo, W) for p in polys], axis=1)
+        part = _eval_stack(chunk, pw)  # (16, k, 1)
+        part = _mul(part, _pack_scalar(pow(x, lo, Q))[:, None, :])
+        acc = part if acc is None else _add(acc, part)
+    flat = np.asarray(jax.device_get(acc))[:, :, 0]
     return _SPEC.unpack_mont(flat)

@@ -33,7 +33,6 @@ FR_SPEC = FieldSpec(fr.Q, 16)
 
 #: butterfly radix: 4 fuses two Pease stages per relayout (A/B via env)
 import os as _os  # noqa: E402
-from ..utils.expcache import ejit
 
 _RADIX = int(_os.environ.get("BPT_NTT_RADIX", "4"))
 
@@ -149,7 +148,7 @@ def ntt_mont(a, inverse: bool, perm, tw, n_inv):
     return a
 
 
-@ejit(static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _ntt_jit(a, inverse: bool, perm, tw, n_inv):
     return ntt_mont(a, inverse, perm, tw, n_inv)
 
@@ -279,7 +278,7 @@ def ntt4_mont(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_
     return a
 
 
-@ejit(static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _ntt4_jit(a, inverse: bool, n1: int, n2: int, tw1, tw2, crossT, br1, br2, n_inv):
     return ntt4_mont(a, inverse, n1, n2, tw1, tw2, crossT, br1, br2, n_inv)
 

@@ -35,7 +35,6 @@ import numpy as np
 from ..fields import fr
 from . import limbs, ntt as ntt_ops
 from .ntt import FR_SPEC
-from ..utils.expcache import ejit
 
 Q = fr.Q
 
@@ -52,7 +51,7 @@ def _sub(a, b):
     return limbs.sub_mod(FR_SPEC, a, b)
 
 
-@ejit
+@jax.jit
 def _scale_row(row, gpow):
     return _mm(row, gpow)
 
@@ -67,7 +66,7 @@ def _coset_ntt_fwd_row(row, gpow, perm_f, tw_f, ninv_f):
     return ntt_ops._ntt_jit(_scale_row(row, gpow), False, perm_f, tw_f, ninv_f)
 
 
-@ejit
+@jax.jit
 def _round3_combine_rows(
     aE, bE, cE, zE, zwE, s1E, s2E, s3E,
     qlE, qrE, qmE, qoE, qcE, piE, l1E,
@@ -102,7 +101,7 @@ def _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i):
     return _scale_row(ntt_ops._ntt_jit(tE, True, perm_i, tw_i, ninv_i), ginvpow)
 
 
-@ejit(static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,))
 def _round3_kernel(
     n: int,
     stacked,      # (16, 15, m) monomial coeffs, m = 4n
@@ -149,29 +148,45 @@ _R3_CONSTS: dict[int, tuple] = {}
 
 def _round3_consts(m: int):
     c = _R3_CONSTS.get(m)
-    if c is None:
-        from .dpoly import _pack_scalar, _pow_table
+    if c is not None:
+        return c
+    from .dpoly import _pack_scalar, _pow_table
 
-        n = m // 4
-        g = fr.GENERATOR
-        g_inv = pow(g, Q - 2, Q)
-        w = fr.root_of_unity(m)
-        # Z_H(g w^j) = g^n w^(nj) - 1; w^n has order 4
-        w4 = pow(w, n, Q)
-        gn = pow(g, n, Q)
-        zh_vals = [pow((gn * pow(w4, j, Q) - 1) % Q, Q - 2, Q) for j in range(4)]
-        zh_inv = jnp.tile(jnp.asarray(FR_SPEC.pack_mont(zh_vals)), (1, m // 4))
-        gpow = _pow_table(_pack_scalar(g), m)
-        ginvpow = _pow_table(_pack_scalar(g_inv), m)
-        dpow = _mm(_pow_table(_pack_scalar(w), m), _pack_scalar(g))  # g * w^j
-        plan_f = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, False))
-        plan_i = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, True))
-        c = (zh_inv, gpow, ginvpow, dpow, plan_f, plan_i)
+    n = m // 4
+    g = fr.GENERATOR
+    g_inv = pow(g, Q - 2, Q)
+    w = fr.root_of_unity(m)
+    # Z_H(g w^j) = g^n w^(nj) - 1; w^n has order 4
+    w4 = pow(w, n, Q)
+    gn = pow(g, n, Q)
+    zh_vals = [pow((gn * pow(w4, j, Q) - 1) % Q, Q - 2, Q) for j in range(4)]
+    zh_inv = jnp.tile(jnp.asarray(FR_SPEC.pack_mont(zh_vals)), (1, m // 4))
+    gpow = _pow_table(_pack_scalar(g), m)
+    ginvpow = _pow_table(_pack_scalar(g_inv), m)
+    # g * w^j — MUST go through the jitted kernel: an eager mont_mul
+    # at (16, 2^22) materializes every ~60 limb temporaries (256 MB
+    # each) unfused and OOMs the 16 GB chip (seen at the 2^20 prove)
+    dpow = _scale_row(_pow_table(_pack_scalar(w), m), _pack_scalar(g))
+    # NTT twiddles == powers of the domain root: build them ON DEVICE
+    # (_pow_table) instead of uploading _plan's 16m-byte host tables —
+    # at m = 2^22 the two tables are 192 MB each through the tunnel
+    ntw = max(3 * m // 4, 1)
+    w_inv = pow(w, Q - 2, Q)
+    tw_f = _pow_table(_pack_scalar(w), ntw)
+    tw_i = _pow_table(_pack_scalar(w_inv), ntw)
+    perm = jnp.asarray(ntt_ops._bit_reverse_perm(m))
+    ninv = jnp.asarray(FR_SPEC.pack_mont([pow(m, Q - 2, Q)]))
+    c = (zh_inv, gpow, ginvpow, dpow, (perm, tw_f, ninv), (perm, tw_i, ninv))
+    # ~6 (16, m)-sized tables = ~1.6 GB at m = 2^22: cache only while the
+    # set fits the budget; above it, rebuild per prove (device-side pow
+    # tables, ~100 ms) and let round 3's exit free the HBM — part of the
+    # 2^20 prove's OOM fix
+    if 6 * m * 16 * 4 <= int(os.environ.get("BPT_R3_CONSTS_BYTES", str(1 << 30))):
         _R3_CONSTS[m] = c
     return c
 
 
-@ejit
+@jax.jit
 def _any_nonzero(x):
     return jnp.any(x != 0)
 
@@ -213,14 +228,24 @@ def round3_quotient_device(
         def fwd(p):
             return _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
 
-        fixed = getattr(pk_cache, "_tpu_coset_rows", None) if pk_cache is not None else None
+        # Stashing the 9 proof-independent coset rows saves 9 forward
+        # NTTs per steady-state prove but holds 9 * (16, m) * 4 B of HBM
+        # for the process lifetime — 2.3 GB at m = 2^22, which (on top of
+        # the ~3.2 GB of fixed-base commit tables) OOMed the 16 GB chip
+        # in round 4 of the 2^20 prove. Above the byte budget, recompute
+        # them per prove (~9 NTTs ≈ 1 s at 2^22) instead of caching.
+        rowcache_budget = int(
+            os.environ.get("BPT_R3_ROWCACHE_BYTES", str(3 << 29))  # 1.5 GB
+        )
+        cacheable = pk_cache is not None and 9 * m * 16 * 4 <= rowcache_budget
+        fixed = getattr(pk_cache, "_tpu_coset_rows", None) if cacheable else None
         if fixed is None or fixed["m"] != m:
             fixed = {
                 "m": m,
                 "rows": tuple(fwd(p) for p in (s1_c, s2_c, s3_c, ql_c, qr_c,
                                                qm_c, qo_c, qc_c, l1_c)),
             }
-            if pk_cache is not None:
+            if cacheable:
                 pk_cache._tpu_coset_rows = fixed
         (s1E, s2E, s3E, qlE, qrE, qmE, qoE, qcE, l1E) = fixed["rows"]
         aE, bE, cE, zE, piE = fwd(a_c), fwd(b_c), fwd(c_c), fwd(z_c), fwd(pi_c)
@@ -265,7 +290,7 @@ def round3_quotient_device(
     return DPoly(t[:, : 3 * n + 6], Basis.MONOMIAL)
 
 
-@ejit
+@jax.jit
 def _linear_combine_kernel(stacked, coeffs, const):
     """sum_i coeffs[i] * stacked[:, i] + const*x^0.
 
@@ -285,13 +310,30 @@ def _linear_combine_kernel(stacked, coeffs, const):
 
 
 def linear_combine_device(polys, coeffs: list[int], const: int):
-    """DPoly linear combination with one kernel."""
+    """DPoly linear combination with one kernel.
+
+    Above BPT_COMBINE_CHUNK positions (default 2^19) the combine runs in
+    position chunks: the round-5 linearization stacks 15 rows of 3n+6
+    coefficients, a 3.1 GB array at 2^20 gates before temporaries."""
     from ..protocol.poly import Basis
-    from .dpoly import DPoly, _pad_to, _pack_scalar
+    from .dpoly import DPoly, _pad_to, _pack_scalar, _slice_pad
 
     assert polys and len(polys) == len(coeffs)
     m = max(p.vals.shape[-1] for p in polys)
-    stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
     ck = jnp.asarray(FR_SPEC.pack_mont([c % Q for c in coeffs]))[:, :, None]
-    out = _linear_combine_kernel(stacked, ck, _pack_scalar(const))
-    return DPoly(out, Basis.MONOMIAL)
+    W = int(os.environ.get("BPT_COMBINE_CHUNK", str(1 << 19)))
+    if m <= W:
+        stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
+        out = _linear_combine_kernel(stacked, ck, _pack_scalar(const))
+        return DPoly(out, Basis.MONOMIAL)
+    zero = _pack_scalar(0)
+    parts = []
+    for lo in range(0, m, W):
+        w = min(W, m - lo)
+        chunk = jnp.stack([_slice_pad(p.vals, lo, w) for p in polys], axis=1)
+        parts.append(
+            _linear_combine_kernel(
+                chunk, ck, _pack_scalar(const) if lo == 0 else zero
+            )
+        )
+    return DPoly(jnp.concatenate(parts, axis=-1), Basis.MONOMIAL)

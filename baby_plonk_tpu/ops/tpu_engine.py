@@ -22,13 +22,12 @@ import numpy as np
 from ..fields import fr
 from . import g1_vec, limbs, msm as dmsm, ntt as dntt
 from .limbs import FieldSpec
-from ..utils.expcache import ejit
 
 FR_SPEC = dmsm.FR_SPEC
 Q = fr.Q
 
 
-@ejit
+@jax.jit
 def _from_mont_jit(vals):
     return limbs.from_mont(FR_SPEC, vals)
 
@@ -51,7 +50,7 @@ def _scan_mul(x):
     )
 
 
-@ejit
+@jax.jit
 def _grand_product_part1(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma):
     """Compute f, g and their prefix/suffix scans. All inputs Montgomery."""
 
@@ -76,14 +75,14 @@ def _grand_product_part1(a, b, c, s1, s2, s3, roots, k1r, k2r, beta, gamma):
     return pf, pg, sufg
 
 
-@ejit
+@jax.jit
 def _grand_product_part2(pf, sufg_shift, total_inv):
     """z[i+1] = pf[i] * total_inv * g[i+1..n-1]."""
     t = limbs.mont_mul(FR_SPEC, sufg_shift, total_inv)
     return limbs.mont_mul(FR_SPEC, pf, t)
 
 
-@ejit
+@jax.jit
 def _grand_product_full(a, b, c, s1, s2, s3, roots, k1, k2, beta, gamma):
     """Fully device-resident grand product: ONE executable, no host syncs.
 

@@ -76,11 +76,23 @@ def _code_salt() -> str:
     kernel's HLO."""
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
-    for root, _dirs, files in sorted(os.walk(pkg)):
-        for f in sorted(files):
-            if not f.endswith(".py"):
-                continue
-            p = os.path.join(root, f)
+    # only the dirs that define kernel computations — an edit to e.g.
+    # utils/metrics.py or protocol/ host code cannot change any exported
+    # HLO, and a whole-package salt would needlessly flush the cache
+    roots = [os.path.join(pkg, d) for d in ("ops", "parallel", "fields")]
+    roots.append(os.path.abspath(__file__).rstrip("c"))
+    for r in roots:
+        entries = (
+            [r]
+            if os.path.isfile(r)
+            else [
+                os.path.join(base, f)
+                for base, _dirs, files in sorted(os.walk(r))
+                for f in sorted(files)
+                if f.endswith(".py")
+            ]
+        )
+        for p in entries:
             st = os.stat(p)
             h.update(f"{os.path.relpath(p, pkg)}:{st.st_mtime_ns}:{st.st_size}|".encode())
     return h.hexdigest()[:16]
@@ -111,10 +123,27 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
     label = name or getattr(fn, "__name__", "fn")
     exports: dict[str, object] = {}
 
+    def _jit_retry(args):
+        """Plain-jit fallback; on an incompatible-devices mix (exp.call
+        outputs are committed, jit outputs are not) strip placement on
+        the host and retry."""
+        import jax
+
+        try:
+            return jfn(*args)
+        except ValueError as e:
+            _log(f"uncommit-retry {label}: {str(e)[:100]}")
+            import numpy as _np
+
+            fixed = [
+                _np.asarray(a) if isinstance(a, jax.Array) else a for a in args
+            ]
+            return jfn(*fixed)
+
     @functools.wraps(fn)
     def wrapper(*args):
         if not enabled():
-            return jfn(*args)
+            return _jit_retry(args)
         import jax
         import jax.numpy as jnp
 
@@ -145,7 +174,14 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
                         import time as _time
 
                         t0 = _time.time()
-                        exp = jax.export.export(jfn)(*args)
+                        try:
+                            exp = jax.export.export(jfn)(*args)
+                        except ValueError as e:
+                            # mixed arg placements (one committed to N
+                            # devices, one uncommitted) export-trace
+                            # stricter than jit; let jit handle them
+                            _log(f"export-fallback {label}: {str(e)[:100]}")
+                            return _jit_retry(args)
                         _log(f"export {label}-{key}: {_time.time()-t0:.1f}s")
                         tmp = f"{path}.{os.getpid()}.tmp"
                         with open(tmp, "wb") as f:
@@ -161,7 +197,7 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
             # multi-device kernel trips it — the plain jit reshards
             # automatically, so fall through to it.
             _log(f"fallback {label}: {str(e)[:100]}")
-            return jfn(*args)
+            return _jit_retry(args)
 
     wrapper._ejit_label = label
     return wrapper

@@ -32,6 +32,21 @@ class Metrics:
             self.durations[name] += dt
             if trace:
                 print(f"[span] {name} {dt:.2f}s", file=sys.stderr, flush=True)
+            if os.environ.get("BPT_TRACE_HBM"):
+                try:
+                    import jax
+
+                    st = jax.devices()[0].memory_stats() or {}
+                    used = st.get("bytes_in_use", 0)
+                    peak = st.get("peak_bytes_in_use", 0)
+                    print(
+                        f"[hbm] {name}: in_use={used/2**30:.2f}G "
+                        f"peak={peak/2**30:.2f}G",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                except Exception as e:  # stats are best-effort diagnostics
+                    print(f"[hbm] {name}: unavailable ({e})", file=sys.stderr)
 
     def count(self, name: str, inc: int = 1):
         self.counters[name] += inc

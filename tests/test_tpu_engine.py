@@ -45,6 +45,28 @@ def test_proof_bytes_identical_across_engines():
 
 
 @pytest.mark.slow
+def test_chunked_memory_paths_byte_identical(monkeypatch):
+    """The position-chunked round-4 eval / round-5 combine and the
+    uncached round-3 consts (the large-n OOM levers, BPT_EVAL_CHUNK /
+    BPT_COMBINE_CHUNK / BPT_R3_CONSTS_BYTES) must be byte-identical to
+    the single-shot kernels; tiny thresholds force every chunk boundary
+    at test sizes."""
+    monkeypatch.setenv("BPT_EVAL_CHUNK", "8")
+    monkeypatch.setenv("BPT_COMBINE_CHUNK", "8")
+    monkeypatch.setenv("BPT_R3_CONSTS_BYTES", "0")
+    n = 8
+    setup = Setup.generate_srs(n + 6, tau=101, cache=False)
+    program = Program.from_strs(
+        ["e public", "c <== a * b + b", "e <== c * d"], n
+    )
+    witness = {"a": 3, "b": 4, "c": 16, "d": 5, "e": 80}
+    blinding = list(range(1, 12))
+    p_host = Prover(setup, program, engine=HostEngine()).prove(witness, blinding=blinding)
+    p_tpu = Prover(setup, program, engine=TpuEngine()).prove(witness, blinding=blinding)
+    assert p_host.to_bytes() == p_tpu.to_bytes()
+
+
+@pytest.mark.slow
 def test_round3_split_memory_path_byte_identical(monkeypatch):
     """The memory-capped round-3 path (grouped forward NTTs + separate
     combine/iNTT kernels) must produce the same proof as the fused kernel."""
