@@ -57,7 +57,11 @@ TABLE_U16 = os.environ.get("BPT_MSM_TABLE_U16", "1") == "1"
 #:              instead of random access; exact in uint16 because the
 #:              mask is one-hot.
 #: Selected via BPT_MSM_LOOKUP; A/B with scripts/bench_msm_lookup.py.
-LOOKUP = os.environ.get("BPT_MSM_LOOKUP", "gather2")
+#: Measured on chip at 2^14 (2026-08-20): gather2 118.4 ms, gather1
+#: 110.4 ms (default), onehot 115.5 ms — i.e. halving the gather count
+#: buys only 7%, so the Horner step is arithmetic/accumulator-bound,
+#: not gather-bound (PERFORMANCE.md round 4).
+LOOKUP = os.environ.get("BPT_MSM_LOOKUP", "gather1")
 
 #: Horner segments (shifted-table variant, below). S > 1 stores S table
 #: sets — segment j holds subset sums of 2^(j*255/S) * P — and runs a

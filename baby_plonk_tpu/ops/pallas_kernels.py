@@ -201,13 +201,25 @@ def _fixed_indices(scalars_raw):
 
 def _msm_fixed_tile_kernel(tx_ref, ty_ref, idx_ref, ox_ref, oy_ref, oz_ref, *, tile):
     acc = g1_vec.pidentity((tile,))
-    tx = tx_ref[...].astype(jnp.uint32)  # (24, tile, 256)
-    ty = ty_ref[...].astype(jnp.uint32)
+    # Mosaic's dynamic_gather only supports same-shape 2D lookups, so the
+    # 256-way table lookup is a one-hot select + sum over the minor axis
+    # instead: the tables are VMEM-resident, so the 256x read
+    # amplification rides VMEM bandwidth (~TB/s), not HBM; the sum is
+    # exact in uint16 because the mask is one-hot.
+    tx = tx_ref[...]  # (24, tile, 256)
+    ty = ty_ref[...]
+    entry = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    zero = jnp.zeros((), tx.dtype)
 
     def step(t, acc):
-        gidx = idx_ref[t][None, :, None]  # (1, tile, 1)
-        qx = jnp.take_along_axis(tx, gidx, axis=2)[:, :, 0]
-        qy = jnp.take_along_axis(ty, gidx, axis=2)[:, :, 0]
+        sel = idx_ref[t][None, :, None] == entry  # (1, tile, 256) one-hot
+        # sum in int32: Mosaic has no unsigned reductions; limbs < 2^16
+        qx = jnp.sum(
+            jnp.where(sel, tx, zero).astype(jnp.int32), axis=2
+        ).astype(jnp.uint32)
+        qy = jnp.sum(
+            jnp.where(sel, ty, zero).astype(jnp.int32), axis=2
+        ).astype(jnp.uint32)
         acc = g1_vec.pdouble(acc)
         added = g1_vec.padd_mixed(acc, (qx, qy))
         is_id = limbs.is_zero(qx) & limbs.is_zero(qy)  # (0,0) identity marker
