@@ -372,6 +372,12 @@ class FixedBaseTables:
             t = jnp.swapaxes(jnp.concatenate([tx, ty], axis=0), 1, 2)  # (48, 256, G)
         else:
             t = (tx, ty)
+        if self.lookup != "gather2":
+            # the relayout is a COPY: drop the base-layout tables so chunk
+            # HBM stays ~50 MB, not ~100 MB (keeping both doubled the
+            # 2^20 SRS's table footprint to 6.6 GB and OOMed the chip);
+            # anything needing the base layout re-reads the npz cache
+            self._tables.pop(ci, None)
         self._fmt_tables[ci] = t
         return t
 

@@ -235,14 +235,26 @@ def _ntt_axis2(a, m: int, tw, br, nbatch: int):
     return jnp.take(a, br, axis=-2)
 
 
-#: BPT_NTT_SUB=pallas runs the four-step's sub-NTTs as the fused
-#: VMEM-resident Pallas kernel (ops/pallas_kernels.py::ntt_sub_pallas)
-#: instead of the XLA stage loop. Same function, same bit-reversal fixup.
-_SUB_IMPL = _os.environ.get("BPT_NTT_SUB", "xla")
+#: BPT_NTT_SUB selects the four-step's sub-NTT implementation:
+#: ``pallas`` = fused VMEM-resident kernels (ntt_sub_pallas, recursing
+#: four-step past the VMEM limit) — measured 2.5x the XLA stage loop on
+#: chip (2^20 NTT 116.7 -> 46.3 ms, bit-identical; PERFORMANCE.md r4);
+#: ``xla`` = the stage loop. Default: pallas on TPU, xla elsewhere
+#: (interpreter-mode Pallas is minutes-slow on the CPU test backend).
+#: Resolved lazily so importing this module never initializes a backend.
+@functools.lru_cache(maxsize=1)
+def _sub_impl() -> str:
+    env = _os.environ.get("BPT_NTT_SUB")
+    if env:
+        return env
+    import jax
+
+    # the tunneled chip registers as platform "axon", so key on NOT-cpu
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 def _sub_ntt(a, m: int, tw, br, nbatch: int, inverse: bool):
-    if _SUB_IMPL == "pallas" and nbatch == 0 and m > 1:
+    if _sub_impl() == "pallas" and nbatch == 0 and m > 1:
         from . import pallas_kernels
 
         if m > pallas_kernels.SUB_MAX_M:

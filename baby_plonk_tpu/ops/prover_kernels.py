@@ -56,14 +56,20 @@ def _scale_row(row, gpow):
     return _mm(row, gpow)
 
 
-def _coset_ntt_fwd_row(row, gpow, perm_f, tw_f, ninv_f):
+def _coset_ntt_fwd_row(row, gpow):
     """Coset scale then forward NTT for ONE polynomial (split memory path).
 
     Dispatched as TWO executables on purpose: fusing the scale into the
     NTT graph raises peak liveness enough to trip the remote compiler's
     alternate-memory assignment CHECK (SIGABRT) at m=2^18, while the
-    plain NTT executable compiles clean up to m=2^20 (bench.py)."""
-    return ntt_ops._ntt_jit(_scale_row(row, gpow), False, perm_f, tw_f, ninv_f)
+    plain NTT executable compiles clean up to m=2^20 (bench.py).
+
+    The transform goes through ``ntt_device`` (four-step + Pallas
+    sub-NTTs above the threshold — 46.3 ms vs the Pease loop's ~6 s at
+    2^22, PERFORMANCE.md r4) rather than the Pease plan passed in; the
+    plan args (dropped this round) live in _round3_plans for the small
+    fused path's kernel."""
+    return ntt_ops.ntt_device(_scale_row(row, gpow), inverse=False)
 
 
 @jax.jit
@@ -96,9 +102,9 @@ def _round3_combine_rows(
     return _mm(allE, zh_inv)
 
 
-def _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i):
+def _coset_intt(tE, ginvpow):
     # two executables, same reason as _coset_ntt_fwd_row
-    return _scale_row(ntt_ops._ntt_jit(tE, True, perm_i, tw_i, ninv_i), ginvpow)
+    return _scale_row(ntt_ops.ntt_device(tE, inverse=True), ginvpow)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -167,23 +173,30 @@ def _round3_consts(m: int):
     # at (16, 2^22) materializes every ~60 limb temporaries (256 MB
     # each) unfused and OOMs the 16 GB chip (seen at the 2^20 prove)
     dpow = _scale_row(_pow_table(_pack_scalar(w), m), _pack_scalar(g))
-    # NTT twiddles == powers of the domain root: build them ON DEVICE
-    # (_pow_table) instead of uploading _plan's 16m-byte host tables —
-    # at m = 2^22 the two tables are 192 MB each through the tunnel
-    ntw = max(3 * m // 4, 1)
-    w_inv = pow(w, Q - 2, Q)
-    tw_f = _pow_table(_pack_scalar(w), ntw)
-    tw_i = _pow_table(_pack_scalar(w_inv), ntw)
-    perm = jnp.asarray(ntt_ops._bit_reverse_perm(m))
-    ninv = jnp.asarray(FR_SPEC.pack_mont([pow(m, Q - 2, Q)]))
-    c = (zh_inv, gpow, ginvpow, dpow, (perm, tw_f, ninv), (perm, tw_i, ninv))
-    # ~6 (16, m)-sized tables = ~1.6 GB at m = 2^22: cache only while the
+    c = (zh_inv, gpow, ginvpow, dpow)
+    # ~4 (16, m)-sized tables = ~1 GB at m = 2^22: cache only while the
     # set fits the budget; above it, rebuild per prove (device-side pow
     # tables, ~100 ms) and let round 3's exit free the HBM — part of the
     # 2^20 prove's OOM fix
-    if 6 * m * 16 * 4 <= int(os.environ.get("BPT_R3_CONSTS_BYTES", str(1 << 30))):
+    if 4 * m * 16 * 4 <= int(os.environ.get("BPT_R3_CONSTS_BYTES", str(1 << 30))):
         _R3_CONSTS[m] = c
     return c
+
+
+_R3_PLANS: dict[int, tuple] = {}
+
+
+def _round3_plans(m: int):
+    """Pease NTT plans for the small FUSED round-3 kernel only (the split
+    memory path transforms via ntt_device and never needs these — and
+    must not pay their host-side bit-reversal table at large m)."""
+    p = _R3_PLANS.get(m)
+    if p is None:
+        plan_f = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, False))
+        plan_i = tuple(jnp.asarray(x) for x in ntt_ops._plan(m, True))
+        p = (plan_f, plan_i)
+        _R3_PLANS[m] = p
+    return p
 
 
 @jax.jit
@@ -210,9 +223,7 @@ def round3_quotient_device(
     from .dpoly import DPoly, _pad_to
 
     m = 4 * n
-    zh_inv, gpow, ginvpow, dpow, plan_f, plan_i = _round3_consts(m)
-    perm_f, tw_f, ninv_f = plan_f
-    perm_i, tw_i, ninv_i = plan_i
+    zh_inv, gpow, ginvpow, dpow = _round3_consts(m)
 
     pk = lambda v: jnp.asarray(FR_SPEC.pack_mont([v % Q]))
 
@@ -226,7 +237,7 @@ def round3_quotient_device(
     budget = int(os.environ.get("BPT_ROUND3_BATCH_BYTES", str(1 << 27)))
     if 15 * m * 16 * 4 * 4 > budget:
         def fwd(p):
-            return _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow, perm_f, tw_f, ninv_f)
+            return _coset_ntt_fwd_row(_pad_to(p.vals, m), gpow)
 
         # Stashing the 9 proof-independent coset rows saves 9 forward
         # NTTs per steady-state prove but holds 9 * (16, m) * 4 B of HBM
@@ -268,11 +279,12 @@ def round3_quotient_device(
                 )
             )
         tE = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-        t = _coset_intt(tE, ginvpow, perm_i, tw_i, ninv_i)
+        t = _coset_intt(tE, ginvpow)
     else:
         polys = [a_c, b_c, c_c, z_c, zw_c, s1_c, s2_c, s3_c,
                  ql_c, qr_c, qm_c, qo_c, qc_c, pi_c, l1_c]
         stacked = jnp.stack([_pad_to(p.vals, m) for p in polys], axis=1)
+        (perm_f, tw_f, ninv_f), (perm_i, tw_i, ninv_i) = _round3_plans(m)
         t = _round3_kernel(
             n, stacked, gpow, ginvpow, zh_inv, dpow,
             pk(beta), pk(gamma), pk(alpha), pk(alpha * alpha), pk(k1), pk(k2),

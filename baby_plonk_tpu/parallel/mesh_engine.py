@@ -261,7 +261,7 @@ class MeshEngine(TpuEngine):
         if c is None:
             from ..ops.prover_kernels import _round3_consts
 
-            zh_inv, gpow, ginvpow, dpow, _, _ = _round3_consts(m)
+            zh_inv, gpow, ginvpow, dpow = _round3_consts(m)
             nat_of_gath, to_natural = self._perm_pair(m)
             c = (
                 self._place(_permute_last(zh_inv, nat_of_gath)),
