@@ -36,6 +36,9 @@ from .msm import BITS, _combine_partials
 GROUP = 8
 #: points per chunk; width inside the kernel is CHUNK/GROUP lanes
 CHUNK = 1 << 14
+#: max points per table-BUILD kernel invocation (its 256-lane combo
+#: working set OOMs the compile above this); larger chunks concatenate
+BUILD_W = 1 << 14
 
 
 #: table element dtype: uint16 halves HBM footprint and gather traffic
@@ -333,7 +336,21 @@ class FixedBaseTables:
             py = jnp.concatenate([py, jnp.tile(py[:, :1], (1, pad))], axis=-1)
             pz = jnp.concatenate([pz, jnp.tile(pz[:, :1], (1, pad))], axis=-1)
         if self.segments == 1:
-            t = _build_tables(px, py, pz)
+            # the build kernel runs all 256 combo lanes at once and OOMs
+            # the compile above 2^14 points; tables are per-8-point-group
+            # independent, so wider chunks assemble from BUILD_W-wide builds
+            bw = BUILD_W
+            if self.chunk > bw:
+                parts = [
+                    _build_tables(*(c[:, s : s + bw] for c in (px, py, pz)))
+                    for s in range(0, self.chunk, bw)
+                ]
+                t = tuple(
+                    jnp.concatenate([p[i] for p in parts], axis=1)
+                    for i in (0, 1)
+                )
+            else:
+                t = _build_tables(px, py, pz)
         else:
             seg = BITS // self.segments
             per_seg, pts = [], (px, py, pz)

@@ -37,6 +37,21 @@ def test_msm_fixed_matches_host(n, chunk):
 
 
 @pytest.mark.slow
+def test_msm_fixed_multi_sub_build(monkeypatch):
+    """Chunks wider than the build kernel's limit assemble from BUILD_W-
+    wide sub-builds (concatenated along the group axis) and must match
+    the host oracle; BUILD_W is patched down to force the path."""
+    monkeypatch.setattr(msm_fixed, "BUILD_W", 32)
+    pts, scalars = _mk(64)
+    tabs = msm_fixed.FixedBaseTables(
+        g1_vec.points_to_device(pts), chunk=64, cache_key=None
+    )
+    sc = jnp.asarray(FR_SPEC.pack_raw(scalars))
+    got = g1_vec.point_from_device(tabs.msm(sc))
+    assert got == msm_host.msm(pts, scalars)
+
+
+@pytest.mark.slow
 def test_msm_fixed_prefix_and_reuse():
     """Commit-shaped use: same tables, different scalar lengths k <= n."""
     n = 40
