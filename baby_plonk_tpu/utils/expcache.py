@@ -65,6 +65,13 @@ def enabled() -> bool:
         return v == "1"
     import jax
 
+    if jax.process_count() > 1:
+        # multi-controller runs (jax.distributed): executables replayed
+        # through deserialized exports lose the Gloo collective bootstrap
+        # (observed: "Gloo context initialization failed: Connect
+        # timeout" on the first cross-process collective) — trace
+        # normally there
+        return False
     return jax.default_backend() == "cpu"
 
 

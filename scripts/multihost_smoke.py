@@ -29,6 +29,17 @@ def worker(pid: int, port: int) -> None:
         + " --xla_force_host_platform_device_count=4"
     ).strip()
     sys.path.insert(0, REPO)
+    # SEGREGATED compile-cache dir for the 2-process topology: replaying a
+    # single-process-compiled executable in a multi-controller run skips
+    # the Gloo collective bootstrap ("Gloo context initialization failed:
+    # Connect timeout" on the first cross-process collective) — the
+    # shared xla-cpu dir must never mix the two worlds.
+    os.environ.setdefault(
+        "BPT_JAX_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "baby_plonk_tpu", "xla-cpu-mp2"
+        ),
+    )
     from baby_plonk_tpu.utils import jaxcache
 
     jaxcache.enable()  # warm reruns: the 2-process full prove is compile-bound
