@@ -123,6 +123,23 @@ def _full_prove(pid: int, mesh) -> None:
 
 
 def main() -> int:
+    # Retry wrapper: XLA:CPU's Gloo KV-store exchange has a hardcoded 30 s
+    # window per communicator; on an oversubscribed box the two workers
+    # can skew past it during cold compiles ("GetKeyValue() timed out").
+    # Each attempt warms the (mp2-segregated) compile cache, shrinking the
+    # skew, so a bounded retry converges where one cold shot races.
+    tries = int(os.environ.get("BPT_SMOKE_RETRIES", "2"))
+    rc = 1
+    for attempt in range(tries):
+        rc = _run_once()
+        if rc == 0:
+            break
+        print(f"multihost smoke: attempt {attempt + 1} failed (rc={rc})", flush=True)
+    print("multihost smoke:", "OK" if rc == 0 else "FAILED")
+    return rc
+
+
+def _run_once() -> int:
     import socket
 
     with socket.socket() as s:
@@ -155,7 +172,6 @@ def main() -> int:
         with open(f.name) as fh:
             out = fh.read()
         sys.stdout.write(out[-4000:] if rc else out[-2000:])
-    print("multihost smoke:", "OK" if rc == 0 else "FAILED")
     return rc
 
 
