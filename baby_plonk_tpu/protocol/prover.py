@@ -77,6 +77,15 @@ class Prover:
         with get_metrics().span("prover.commit"):
             return self.engine.commit(self.setup, p)
 
+    def _commit_many(self, ps) -> list:
+        """Batch a round's commitments: every MSM dispatches before the
+        single result fetch (engine.commit_many) — one host<->device
+        round trip per round instead of one per polynomial."""
+        from ..utils.metrics import get_metrics
+
+        with get_metrics().span("prover.commit"):
+            return self.engine.commit_many(self.setup, ps)
+
     def prove(
         self,
         witness: dict[str, int],
@@ -177,7 +186,7 @@ class Prover:
         self.c_coeff = blind_zh([b6, b5]) + self._intt(self.c)
         self._blind_zh = blind_zh
 
-        return self._commit(self.a_coeff), self._commit(self.b_coeff), self._commit(self.c_coeff)
+        return tuple(self._commit_many([self.a_coeff, self.b_coeff, self.c_coeff]))
 
     # -- round 2 ------------------------------------------------------------------
 
@@ -313,7 +322,7 @@ class Prover:
         t_hi = t_hi - b11
 
         self.t_lo_coeff, self.t_mid_coeff, self.t_hi_coeff = t_lo, t_mid, t_hi
-        return self._commit(t_lo), self._commit(t_mid), self._commit(t_hi)
+        return tuple(self._commit_many([t_lo, t_mid, t_hi]))
 
     def _l1_coeff(self):
         if getattr(self, "_l1_c", None) is None:
@@ -418,4 +427,4 @@ class Prover:
         omega = fr.root_of_unity(n)
         w_zeta_omega = (z_c - z_omega_bar).divide_by_linear(zeta * omega % Q)
 
-        return self._commit(w_zeta), self._commit(w_zeta_omega)
+        return tuple(self._commit_many([w_zeta, w_zeta_omega]))
