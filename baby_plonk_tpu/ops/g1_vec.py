@@ -105,10 +105,13 @@ def _stackmul_wide(lhs, rhs):
     return [out[:, i] for i in range(len(lhs))]
 
 
-def _stackreduce(wides):
-    """One batched Montgomery reduction for a list of wide values."""
+def _stackreduce(wides, biases=None):
+    """One batched Montgomery reduction for a list of wide values.
+    ``biases``: per-slot net Karatsuba bias counts (sub_wide = 0,
+    add_wide = 2, plain product = 1) — only consulted when
+    BPT_FQ_MUL=karatsuba is active."""
     with limbs.compact_mul():
-        out = limbs.mont_reduce_wide(FQ, jnp.stack(wides, axis=1))
+        out = limbs.mont_reduce_wide(FQ, jnp.stack(wides, axis=1), bias_count=biases)
     return [out[:, i] for i in range(len(wides))]
 
 
@@ -142,7 +145,8 @@ def padd(p1, p2):
             limbs.sub_wide(FQ, w0, w1),
             limbs.add_wide(FQ, w2, w3),
             limbs.add_wide(FQ, w4, w5),
-        ]
+        ],
+        biases=(0, 2, 2),
     )
     return (X3, Y3, Z3)
 
@@ -162,7 +166,7 @@ def pdouble(p):
         [t2, t1, t0m, t0m], [z3, z3, y3p, xy]
     )
     Y3, Z3, x3b = _stackreduce(
-        [limbs.add_wide(FQ, wx3a, wy3n), wz3n, wx3b]
+        [limbs.add_wide(FQ, wx3a, wy3n), wz3n, wx3b], biases=(2, 1, 1)
     )
     X3 = _add(x3b, x3b)
     return (X3, Y3, Z3)
@@ -196,7 +200,8 @@ def padd_mixed(p1, q_affine):
             limbs.sub_wide(FQ, w0, w1),
             limbs.add_wide(FQ, w2, w3),
             limbs.add_wide(FQ, w4, w5),
-        ]
+        ],
+        biases=(0, 2, 2),
     )
     return (X3, Y3, Z3)
 
