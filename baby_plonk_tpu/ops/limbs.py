@@ -485,7 +485,7 @@ def kara_enabled(spec: FieldSpec) -> bool:
 
 def kara_c(spec: FieldSpec, count: int = 1) -> np.ndarray:
     """(L, 1) canonical limbs of count * V * R^-1 mod n."""
-    key = (id(spec), count)
+    key = (spec.modulus, spec.L, spec.radix, count)
     c = _KARA_C.get(key)
     if c is None:
         V = sum(_KARA_BIAS << (16 * k) for k in range(_KARA_LO, _KARA_HI))
@@ -633,9 +633,11 @@ def mont_reduce_wide(spec: FieldSpec, t, bias_count=None):
     out = hi[:L]
     if bias_count is not None and kara_enabled(spec):
         if isinstance(bias_count, (tuple, list)):
-            # stacked reduce: per-slot constants along axis 1, (L, k, 1)
+            # stacked reduce: per-slot constants along axis 1, broadcast
+            # over every remaining batch dim of out (L, k, *batch)
             cs = np.stack([kara_c(spec, k)[:, 0] for k in bias_count], axis=1)
-            out = sub_mod(spec, out, jnp.asarray(cs)[:, :, None])
+            cs = cs.reshape(cs.shape + (1,) * (out.ndim - 2))
+            out = sub_mod(spec, out, jnp.asarray(cs))
         elif bias_count:
             out = sub_mod(spec, out, _bc(kara_c(spec, int(bias_count)), out))
     return out

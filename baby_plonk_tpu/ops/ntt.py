@@ -249,8 +249,9 @@ def _sub_impl() -> str:
         return env
     import jax
 
-    # the tunneled chip registers as platform "axon", so key on NOT-cpu
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    # the tunneled chip registers as platform "axon"; Mosaic kernels are
+    # TPU-only, so default to xla on anything else (cpu, gpu, ...)
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
 def _sub_ntt(a, m: int, tw, br, nbatch: int, inverse: bool):

@@ -105,6 +105,23 @@ def _code_salt() -> str:
     return h.hexdigest()[:16]
 
 
+def _env_salt() -> str:
+    """Digest of behavior-affecting BPT_* env vars (kernel-variant toggles
+    like BPT_FQ_MUL / BPT_NTT_SUB / BPT_MSM): a run with a different
+    variant of identical shape must not replay another variant's cached
+    HLO. Cache-control vars (BPT_EXPORT_CACHE*) are excluded — they steer
+    this module, not any exported computation. Recomputed per call: tests
+    flip these vars mid-process."""
+    items = sorted(
+        (k, v)
+        for k, v in os.environ.items()
+        if k.startswith("BPT_") and not k.startswith("BPT_EXPORT_CACHE")
+    )
+    if not items:
+        return "env0"
+    return hashlib.sha256(repr(items).encode()).hexdigest()[:12]
+
+
 def _static_key(v) -> str:
     """Stable digest piece for a static argument."""
     try:
@@ -129,6 +146,33 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
     jfn = jax.jit(fn, static_argnums=static_argnums)
     label = name or getattr(fn, "__name__", "fn")
     exports: dict[str, object] = {}
+    executed: set[str] = set()
+
+    def _mp_barrier(key: str) -> None:
+        """Multi-process compile-skew barrier (root cause of the round-4
+        Gloo KV race): XLA:CPU's per-communicator KV exchange has a
+        HARDCODED 30 s window, but compile-time skew between workers
+        accumulates across kernels — worker 0 enters a new communicator's
+        rendezvous while worker 1 is still minutes behind in compiles, and
+        GetKeyValue() times out. Aligning both workers via the gRPC
+        coordination service (NOT a Gloo collective — no chicken-and-egg)
+        immediately before each kernel's first execution bounds the skew
+        to ONE kernel's compile-time variance. Runs once per (label, key)
+        per process; both workers execute identical deterministic kernel
+        sequences, so the barrier ids pair up."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax._src import distributed
+
+        client = getattr(distributed.global_state, "client", None)
+        if client is None:  # pragma: no cover - process_count>1 implies client
+            return
+        try:
+            client.wait_at_barrier(f"bpt_ejit_{label}_{key}", 1_200_000)
+        except Exception as e:  # barrier failure must not kill the prove
+            _log(f"barrier {label}-{key} failed: {str(e)[:100]}")
 
     def _jit_retry(args):
         """Plain-jit fallback; on an incompatible-devices mix (exp.call
@@ -155,7 +199,7 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
         import jax.numpy as jnp
 
         dyn = []
-        parts = [label, jax.__version__, _code_salt()]
+        parts = [label, jax.__version__, _code_salt(), _env_salt()]
         for i, a in enumerate(args):
             if i in static_argnums:
                 parts.append(_static_key(a))
@@ -195,6 +239,9 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
                             f.write(exp.serialize())
                         os.replace(tmp, path)
                     exports[key] = exp
+        if key not in executed:
+            executed.add(key)
+            _mp_barrier(key)
         try:
             return exp.call(*dyn)
         except ValueError as e:
