@@ -45,16 +45,66 @@ def _demo(use_tpu: bool) -> int:
     return 0 if ok else 1
 
 
+def _warmup(logn: int, tau: int) -> int:
+    """AOT priming for a proving service: trace + compile EVERY shape a
+    prove at n = 2^logn needs (SRS build, fixed-base tables, all five
+    prover rounds, verifier preprocessing) through the persistent caches
+    (utils/jaxcache XLA executable cache + utils/expcache trace cache +
+    the SRS/table npz caches), so a fresh process's FIRST proof runs at
+    warm rate instead of paying cold kernel compiles (PERFORMANCE.md:
+    2^20 cold 1284.7 s vs warm 108.7 s). Run once per (machine, n);
+    re-run after editing kernel code (the caches key on source digests)."""
+    from .utils import jaxcache
+
+    jaxcache.enable()
+    import jax
+
+    from . import circuits
+    from .ops.tpu_engine import TpuEngine
+    from .protocol.program import Program
+    from .protocol.prover import Prover
+    from .protocol.setup import Setup
+    from .protocol.verifier import Verifier
+
+    n = 1 << logn
+    t_all = time.time()
+    constraints, witness, public = circuits.mul_chain(n)
+    program = Program.from_strs(constraints, n)
+    setup = Setup.generate_srs_device(n + 6, tau=tau)
+    jax.block_until_ready(setup._tpu_cache)
+    engine = TpuEngine()
+    prover = Prover(setup, program, engine=engine)
+    t0 = time.time()
+    proof = prover.prove(witness)
+    prove_dt = time.time() - t0
+    t0 = time.time()
+    ok = Verifier(setup, program, proof, engine=engine).verify(public)
+    verify_dt = time.time() - t0
+    print(
+        f"warmup n=2^{logn}: prove={prove_dt:.1f}s verify={verify_dt:.3f}s "
+        f"ok={ok} total={time.time()-t_all:.1f}s — caches primed; the next "
+        "fresh-process prove at this size starts warm"
+    )
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="baby_plonk_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     demo = sub.add_parser("demo", help="prove+verify the reference e2e circuit")
     demo.add_argument("--tpu", action="store_true", help="use the TPU engine")
     sub.add_parser("bench", help="run the benchmark harness (bench.py)")
+    warm = sub.add_parser(
+        "warmup", help="AOT-prime every shape a prove at n needs (cold-start fix)"
+    )
+    warm.add_argument("--log2", type=int, default=20, help="log2 of the gate count")
+    warm.add_argument("--tau", type=lambda s: int(s, 0), default=0xDEADBEEF)
     args = p.parse_args(argv)
 
     if args.cmd == "demo":
         return _demo(args.tpu)
+    if args.cmd == "warmup":
+        return _warmup(args.log2, args.tau)
     if args.cmd == "bench":
         import runpy
         import os

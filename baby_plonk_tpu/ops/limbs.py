@@ -199,8 +199,7 @@ class FieldSpec:
 
 def _shift_up(x, fill=0):
     """Shift rows up by one limb position: out[k] = x[k-1], out[0] = fill."""
-    pad = jnp.full_like(x[:1], fill)
-    return jnp.concatenate([pad, x[:-1]], axis=0)
+    return _row_shift(x, 1, fill)
 
 
 def _ks_prefix_carry(g, p):
@@ -214,8 +213,8 @@ def _ks_prefix_carry(g, p):
     L = g.shape[0]
     shift = 1
     while shift < L:
-        g_lo = jnp.concatenate([jnp.zeros_like(g[:shift]), g[:-shift]], axis=0)
-        p_lo = jnp.concatenate([jnp.ones_like(p[:shift]), p[:-shift]], axis=0)
+        g_lo = _row_shift(g, shift, False)
+        p_lo = _row_shift(p, shift, True)
         g = g | (p & g_lo)
         p = p & p_lo
         shift <<= 1
@@ -241,11 +240,15 @@ def _carry_pass(t, mask_top: bool = False, radix: int = 16):
     p = (s & mask) == mask
     G = _ks_prefix_carry(g, p)
     carry_in = _shift_up(G.astype(U32))
-    out = (s + carry_in) & mask
+    full = s + carry_in
+    out = full & mask
     if not mask_top:
         # re-attach the top limb's carry-out (value may exceed radix bits)
-        top = s[-1:] + carry_in[-1:]
-        out = jnp.concatenate([out[:-1], top], axis=0)
+        if _MOSAIC_SAFE:  # iota select instead of a sublane concat
+            iota = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+            out = jnp.where(iota == out.shape[0] - 1, full, out)
+        else:
+            out = jnp.concatenate([out[:-1], full[-1:]], axis=0)
     return out
 
 
@@ -362,6 +365,43 @@ class compact_mul:
         _COMPACT_MUL = self._prev
 
 
+#: Trace-time switch for Pallas-TPU kernel bodies: Mosaic's vector
+#: lowering hits an internal assert (`in_bounds_vreg.getType() ==
+#: native_vreg_ty`, jax 0.9.0, logged 2026-08-20) on the sublane-axis
+#: concatenates the carry/borrow passes use for their static row shifts
+#: (offsets 1/2/4 are not vreg-aligned). Under `mosaic_safe()` those
+#: shifts lower as a native sublane rotate (pltpu.roll) + an iota select
+#: instead — same values, no concat.
+_MOSAIC_SAFE = False
+
+
+class mosaic_safe:
+    """Context manager: trace enclosed code (a Pallas kernel body) with
+    rotate-based limb shifts instead of sublane concatenates."""
+
+    def __enter__(self):
+        global _MOSAIC_SAFE
+        self._prev = _MOSAIC_SAFE
+        _MOSAIC_SAFE = True
+
+    def __exit__(self, *exc):
+        global _MOSAIC_SAFE
+        _MOSAIC_SAFE = self._prev
+
+
+def _row_shift(x, shift: int, fill):
+    """out[k] = x[k - shift] for k >= shift, else ``fill`` (a scalar).
+    Concat form by default; rotate+select under mosaic_safe()."""
+    if not _MOSAIC_SAFE:
+        pad = jnp.full_like(x[:shift], fill)
+        return jnp.concatenate([pad, x[:-shift]], axis=0)
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = pltpu.roll(x, shift, 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(iota < shift, jnp.full_like(x, fill), r)
+
+
 def _slice_add(acc, start, p):
     # acc[start:start+|p|] += p via slice+concat: `.at[].add` lowers to
     # scatter, which Mosaic cannot lower and XLA updates by copy
@@ -455,6 +495,80 @@ def _mul_wide(a, b, out_limbs: int, radix: int = 16):
     return _carry_pass(_mul_cols(a, b, out_limbs, radix), radix=radix)
 
 
+def _sqr_cols_compact(a, out_limbs: int, radix: int = 16):
+    """Compact (slice+concat) form of _sqr_cols; O(L) HLO ops."""
+    L = a.shape[0]
+    split = radix > 12
+    shape = a.shape[1:]
+    acc = jnp.zeros((out_limbs,) + shape, dtype=U32)
+    for i in range(L):
+        w = min(L - i, out_limbs - 2 * i)
+        if w <= 0:
+            break
+        p = a[i : i + 1] * a[i : i + w]  # a_i*a_j, j >= i
+        if not split:  # radix <= 12: products < 2^24, doubling is exact
+            d = jnp.concatenate([p[:1], p[1:] * 2], axis=0) if w > 1 else p
+            acc = _slice_add(acc, 2 * i, d)
+            continue
+        lo, hi = p & MASK16, p >> 16
+        dlo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0) if w > 1 else lo
+        acc = _slice_add(acc, 2 * i, dlo)
+        w2 = min(L - i, out_limbs - 2 * i - 1)
+        if w2 > 0:
+            dhi = hi[:w2]
+            dhi = (
+                jnp.concatenate([dhi[:1], dhi[1:] * 2], axis=0)
+                if w2 > 1
+                else dhi
+            )
+            acc = _slice_add(acc, 2 * i + 1, dhi)
+    return acc
+
+
+def _sqr_cols(a, out_limbs: int, radix: int = 16):
+    """Raw column sums of a*a with each off-diagonal product a_i*a_j
+    (i < j) computed ONCE and doubled — L*(L+1)/2 limb products instead
+    of _mul_cols' L^2 (300 vs 576 at L=24). Doubling happens AFTER the
+    lo/hi split (a raw 16x16 product can exceed 2^31); column values are
+    identical to the schoolbook sums, so every downstream bound
+    (_carry_pass domain, Montgomery tail) is unchanged."""
+    if _COMPACT_MUL:
+        return _sqr_cols_compact(a, out_limbs, radix)
+    L = a.shape[0]
+    shape = a.shape[1:]
+    split = radix > 12
+    mask = np.uint32((1 << radix) - 1)
+    terms: list[list] = [[] for _ in range(out_limbs)]
+    for i in range(L):
+        for j in range(i, L):
+            k = i + j
+            if k >= out_limbs:
+                break
+            p = a[i] * a[j]
+            if not split:
+                terms[k].append(p if i == j else p * 2)
+                continue
+            lo, hi = p & mask, p >> radix
+            if i != j:
+                lo, hi = lo * 2, hi * 2
+            terms[k].append(lo)
+            if k + 1 < out_limbs:
+                terms[k + 1].append(hi)
+    rows = []
+    for k in range(out_limbs):
+        level = terms[k]
+        if not level:
+            rows.append(jnp.zeros(shape, dtype=U32))
+            continue
+        while len(level) > 1:
+            nxt = [level[i] + level[i + 1] for i in range(0, len(level) - 1, 2)]
+            if len(level) % 2:
+                nxt.append(level[-1])
+            level = nxt
+        rows.append(jnp.broadcast_to(level[0], shape))
+    return jnp.stack(rows, axis=0)
+
+
 # -- Karatsuba full products (opt-in: BPT_FQ_MUL=karatsuba) -------------------
 #
 # One level of Karatsuba for the 24-limb (Fq) full product: 12x12 + 12x12
@@ -535,13 +649,23 @@ def mont_mul(spec: FieldSpec, a, b):
     pass at the end resolves, because column sums represent the same value.
     """
     L = spec.L
-    rx = spec.radix
     a, b = jnp.broadcast_arrays(a, b)
     kara = kara_enabled(spec)
     if kara:
-        t_cols = _mul_cols_kara24(a, b, rx)  # biased: value a*b + V
+        t_cols = _mul_cols_kara24(a, b, spec.radix)  # biased: value a*b + V
     else:
-        t_cols = _mul_cols(a, b, 2 * L, rx)  # raw column sums of t = a*b < n^2
+        t_cols = _mul_cols(a, b, 2 * L, spec.radix)  # raw column sums, t < n^2
+    out = _mont_reduce_cols(spec, t_cols)
+    if kara:
+        out = sub_mod(spec, out, _bc(kara_c(spec), out))
+    return out
+
+
+def _mont_reduce_cols(spec: FieldSpec, t_cols):
+    """Montgomery tail shared by mont_mul/mont_sqr: raw 2L column sums of
+    t (limbs < 2^23) -> canonical t*R^-1 mod n."""
+    L = spec.L
+    rx = spec.radix
     t_low = _carry_pass(t_cols[:L], mask_top=True, radix=rx)  # == t mod R
     m = _carry_pass(
         _mul_cols(t_low, _bc(spec.nprime_limbs, t_low), L, rx),
@@ -559,14 +683,43 @@ def mont_mul(spec: FieldSpec, a, b):
         [_bc(spec.n_limbs, hi[:L]), jnp.zeros((1,) + hi.shape[1:], dtype=U32)], axis=0
     )
     red, borrow = _borrow_scan(hi, n_ext, rx)
-    out = jnp.where(borrow, hi, red)[:L]
-    if kara:
-        out = sub_mod(spec, out, _bc(kara_c(spec), out))
-    return out
+    return jnp.where(borrow, hi, red)[:L]
 
 
 def mont_sqr(spec: FieldSpec, a):
-    return mont_mul(spec, a, a)
+    """Montgomery square via dedicated squaring column sums — ~half the
+    limb products of mont_mul's t pass (_sqr_cols). Bias-free under
+    Karatsuba (squaring beats the biased kara mul outright: 300 vs 457
+    products), so no constant correction is needed."""
+    return _mont_reduce_cols(spec, _sqr_cols(a, 2 * spec.L, spec.radix))
+
+
+_MULSMALL_P: dict[tuple, np.ndarray] = {}
+
+
+def mul_small(spec: FieldSpec, x, c: int):
+    """x * c mod n for a small static int c — NO limb products beyond the
+    c-scaling: one carry pass over c-scaled columns + ceil(log2(c))
+    conditional subtractions of 2^j * n. Linear, so it maps Montgomery
+    form to Montgomery form; replaces full mont_muls by curve constants
+    (b3 = 12 in the RCB15 point formulas: 3 of the 24 muls per MSM
+    Horner step)."""
+    assert 0 < c < (1 << (31 - spec.radix)), c  # c * limb must fit uint32
+    ext = jnp.zeros((1,) + x.shape[1:], dtype=U32)
+    t = _carry_pass(
+        jnp.concatenate([x * jnp.uint32(c), ext], axis=0), radix=spec.radix
+    )  # (L+1, ...), value < c * n
+    for j in reversed(range((c - 1).bit_length())):
+        key = (spec.modulus, spec.L, spec.radix, j)
+        pj = _MULSMALL_P.get(key)
+        if pj is None:
+            pj = int_to_limbs(
+                spec.modulus << j, spec.L + 1, spec.radix
+            ).reshape(spec.L + 1, 1)
+            _MULSMALL_P[key] = pj
+        red, borrow = _borrow_scan(t, _bc(pj, t), spec.radix)
+        t = jnp.where(borrow, t, red)
+    return t[: spec.L]
 
 
 # -- lazy (wide-domain) arithmetic --------------------------------------------

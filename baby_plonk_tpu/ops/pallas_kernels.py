@@ -256,22 +256,26 @@ def msm_fixed_pallas(tx, ty, scalars_raw, tile: int = 128):
     idx = _fixed_indices(scalars_raw)
     L = FQ.L
     kernel = functools.partial(_msm_fixed_tile_kernel, tile=t)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((G // t, L, 128), jnp.uint32)] * 3,
-        grid=(G // t,),
-        in_specs=[
-            pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
-            pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
-            pl.BlockSpec((256, t), lambda i: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
-        ],
-        interpret=_interpret(),
-    )(tx, ty, idx)
+    with limbs.mosaic_safe():
+        # rotate-based limb shifts: Mosaic's internal assert on unaligned
+        # sublane concatenates (limbs._row_shift docstring) blocked this
+        # kernel's on-chip compile through round 4
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((G // t, L, 128), jnp.uint32)] * 3,
+            grid=(G // t,),
+            in_specs=[
+                pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
+                pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
+                pl.BlockSpec((256, t), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+            ],
+            interpret=_interpret(),
+        )(tx, ty, idx)
     return _reduce_partials(tuple(o[:, :, 0].T for o in outs))
 
 

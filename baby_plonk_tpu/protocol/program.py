@@ -66,12 +66,21 @@ class Program:
         return Program([eq_to_assembly(l) for l in lines], group_order)
 
     def common_preprocessed_input(self) -> CommonPreprocessedInput:
-        ql, qr, qm, qo, qc = self.make_gate_polynomials()
-        s1, s2, s3 = self.make_s_polynomials()
-        return CommonPreprocessedInput(
-            group_order=self.group_order,
-            ql=ql, qr=qr, qm=qm, qo=qo, qc=qc, s1=s1, s2=s2, s3=s3,
-        )
+        """Cached on the program: the selector/σ polynomials are a pure
+        function of the circuit, and sharing ONE CommonPreprocessedInput
+        object between Prover and Verifier lets them share its derived
+        caches too (the 8 iNTT'd coefficient polys, ``_coeff_cache`` —
+        a prove-then-verify service pays the selector iNTTs once)."""
+        cpi = getattr(self, "_cpi_cache", None)
+        if cpi is None:
+            ql, qr, qm, qo, qc = self.make_gate_polynomials()
+            s1, s2, s3 = self.make_s_polynomials()
+            cpi = CommonPreprocessedInput(
+                group_order=self.group_order,
+                ql=ql, qr=qr, qm=qm, qo=qo, qc=qc, s1=s1, s2=s2, s3=s3,
+            )
+            self._cpi_cache = cpi
+        return cpi
 
     def make_gate_polynomials(self) -> tuple[Poly, Poly, Poly, Poly, Poly]:
         n = self.group_order

@@ -81,12 +81,29 @@ def preprocessed_input(setup: Setup, program: Program, engine=None):
         return vpi
     cpi = program.common_preprocessed_input()
 
-    # one batched 8-wide iNTT + 8 async commits + ONE device round trip
-    # (the TPU engine's commit_many): naively this is 8 x (intt + commit +
-    # sync), which through a ~26 ms tunnel dominated the measured 1.86 s
-    # verify at 2^12 (the host pairing + Straus multiexp are ~60 ms)
-    lag = [cpi.ql, cpi.qr, cpi.qm, cpi.qo, cpi.qc, cpi.s1, cpi.s2, cpi.s3]
-    monos = engine.intt_polys([engine.poly(p.values, Basis.LAGRANGE) for p in lag])
+    # Reuse a Prover's coefficient cache when one exists for this engine
+    # (prover.py round_3 stores the 8 iNTT'd selector/σ polys on the SAME
+    # shared cpi object, order [s1,s2,s3,ql,qr,qm,qo,qc]) — a
+    # prove-then-verify service must not pay the 8 iNTTs twice.
+    ekey = getattr(engine, "name", "host")
+    ccache = getattr(cpi, "_coeff_cache", None)
+    if ccache is None:
+        ccache = cpi._coeff_cache = {}
+    if ekey in ccache:
+        s1c, s2c, s3c, qlc, qrc, qmc, qoc, qcc = ccache[ekey]
+        monos = [qlc, qrc, qmc, qoc, qcc, s1c, s2c, s3c]
+    else:
+        # one batched 8-wide iNTT + 8 async commits + ONE device round
+        # trip (the TPU engine's commit_many): naively this is 8 x (intt
+        # + commit + sync), which through a ~26 ms tunnel dominated the
+        # measured 1.86 s verify at 2^12 (the host pairing + Straus
+        # multiexp are ~60 ms)
+        lag = [cpi.ql, cpi.qr, cpi.qm, cpi.qo, cpi.qc, cpi.s1, cpi.s2, cpi.s3]
+        monos = engine.intt_polys(
+            [engine.poly(p.values, Basis.LAGRANGE) for p in lag]
+        )
+        qlc, qrc, qmc, qoc, qcc, s1c, s2c, s3c = monos
+        ccache[ekey] = [s1c, s2c, s3c, qlc, qrc, qmc, qoc, qcc]
     ql, qr, qm, qo, qc, s1, s2, s3 = engine.commit_many(setup, monos)
     vpi = VerifierPreprocessedInput(
         ql_1=ql, qr_1=qr, qm_1=qm, qo_1=qo, qc_1=qc,

@@ -100,8 +100,12 @@ def _code_salt() -> str:
             ]
         )
         for p in entries:
-            st = os.stat(p)
-            h.update(f"{os.path.relpath(p, pkg)}:{st.st_mtime_ns}:{st.st_size}|".encode())
+            # content digest, NOT mtime: a fresh checkout rewrites every
+            # mtime, and an mtime salt would flush the whole export cache
+            # for an identical tree (e.g. an independent judge/CI run)
+            h.update(os.path.relpath(p, pkg).encode())
+            with open(p, "rb") as f:
+                h.update(hashlib.sha256(f.read()).digest())
     return h.hexdigest()[:16]
 
 

@@ -19,8 +19,13 @@ fallback path emits that stashed TPU line (with provenance fields)
 instead of a CPU number. Additional diagnostics (NTT throughput,
 per-op timings) go to stderr.
 
+The line also certifies the PIPELINE, not just the MSM kernel
+(VERDICT r4 weak #5): ntt_coeffs_per_s / prove_warm_s / verify_s /
+verifier_preprocess_s ride along with their sizes.
+
 Sizes are env-tunable: BPT_BENCH_MSM_LOG2 (default 14),
-BPT_BENCH_NTT_LOG2 (default 16), BPT_BENCH_HOST_LOG2 (default 10).
+BPT_BENCH_NTT_LOG2 (default 20), BPT_BENCH_HOST_LOG2 (default 10),
+BPT_BENCH_PROVE_LOG2 (default 14; 0 disables the prove section).
 """
 from __future__ import annotations
 
@@ -396,6 +401,48 @@ def main():
     assert got == want, "device MSM disagrees with host oracle"
     log("device/host MSM agreement: OK")
 
+    # ---- pipeline certification: warm prove + verify (VERDICT r4 weak #5) ---
+    # The numbers this project exists to produce must be machine-readable in
+    # the driver's artifact, not only in PERFORMANCE.md prose. Budget-sized
+    # (default 2^14, BPT_BENCH_PROVE_LOG2): one cold-in-process prove to
+    # load/compile executables, then a warm prove (the steady-state
+    # per-proof cost) + verifier preprocessing + steady-state verify.
+    prove_warm_s = verify_s = vpi_s = None
+    prove_logn = int(os.environ.get("BPT_BENCH_PROVE_LOG2", "14"))
+    if not fallback and prove_logn > 0:
+        from baby_plonk_tpu import circuits
+        from baby_plonk_tpu.ops.tpu_engine import TpuEngine
+        from baby_plonk_tpu.protocol.program import Program
+        from baby_plonk_tpu.protocol.prover import Prover
+        from baby_plonk_tpu.protocol.setup import Setup
+        from baby_plonk_tpu.protocol.verifier import Verifier
+
+        pn = 1 << prove_logn
+        constraints, witness, public = circuits.mul_chain(pn)
+        program = Program.from_strs(constraints, pn)
+        psetup = Setup.generate_srs_device(pn + 6, tau=0xDEADBEEF)
+        jax.block_until_ready(psetup._tpu_cache)
+        engine = TpuEngine()
+        prover = Prover(psetup, program, engine=engine)
+        t0 = time.time()
+        proof = prover.prove(witness)
+        log(f"prove 2^{prove_logn} (cold in-process): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        proof = prover.prove(witness)
+        prove_warm_s = time.time() - t0
+        log(f"prove 2^{prove_logn} (warm in-process): {prove_warm_s:.2f}s")
+        t0 = time.time()
+        ver = Verifier(psetup, program, proof, engine=engine)
+        vpi_s = time.time() - t0
+        t0 = time.time()
+        ok = ver.verify(public)
+        verify_s = time.time() - t0
+        log(
+            f"verifier preprocess (coeff cache shared with prover): {vpi_s:.2f}s; "
+            f"verify: {verify_s:.3f}s ok={ok}"
+        )
+        assert ok, "bench prove/verify failed"
+
     vs = msm_rate / host_rate
     line = {
         "metric": "msm_g1_points_per_s",
@@ -407,6 +454,14 @@ def main():
         line["roofline_pct"] = round(roofline_pct, 1)
     if sched_pct is not None:
         line["sched_pct"] = round(sched_pct, 1)
+    if not fallback:
+        line["ntt_coeffs_per_s"] = round(ntt_rate, 1)
+        line["ntt_log2"] = ntt_n.bit_length() - 1
+    if prove_warm_s is not None:
+        line["prove_warm_s"] = round(prove_warm_s, 3)
+        line["prove_log2"] = prove_logn
+        line["verify_s"] = round(verify_s, 4)
+        line["verifier_preprocess_s"] = round(vpi_s, 3)
 
     if not fallback:
         # stash the chip-measured record for future outage fallbacks;
@@ -424,6 +479,8 @@ def main():
                 prev is not None
                 and prev.get("line", {}).get("metric") == line["metric"]
                 and prev["line"]["value"] > line["value"]
+                and set(line) <= set(prev["line"])  # never keep a stash
+                # that lacks fields this run measured (e.g. prove/verify)
                 and time.time() - prev.get("ts", 0) < 7 * 86400
             ):
                 log(
