@@ -60,11 +60,14 @@ TABLE_U16 = os.environ.get("BPT_MSM_TABLE_U16", "1") == "1"
 #:              instead of random access; exact in uint16 because the
 #:              mask is one-hot.
 #: Selected via BPT_MSM_LOOKUP; A/B with scripts/bench_msm_lookup.py.
-#: Measured on chip at 2^14 (2026-08-20): gather2 118.4 ms, gather1
-#: 110.4 ms (default), onehot 115.5 ms — i.e. halving the gather count
-#: buys only 7%, so the Horner step is arithmetic/accumulator-bound,
-#: not gather-bound (PERFORMANCE.md round 4).
-LOOKUP = os.environ.get("BPT_MSM_LOOKUP", "gather1")
+#: Measured on chip at 2^14, round 4 (2026-08-20): gather2 118.4 ms,
+#: gather1 110.4 ms, onehot 115.5 ms. Re-measured round 5 after the
+#: cheaper point arithmetic (mul_small b3, dedicated squaring): gather2
+#: 157.2 ms, gather1 263.2 ms (!), onehot 112.6 ms — XLA's schedule for
+#: the interleaved single-gather form degrades badly around the new op
+#: mix, while the gather-free streaming form is stable; onehot is the
+#: default (PERFORMANCE.md round 5).
+LOOKUP = os.environ.get("BPT_MSM_LOOKUP", "onehot")
 
 #: Horner segments (shifted-table variant, below). S > 1 stores S table
 #: sets — segment j holds subset sums of 2^(j*255/S) * P — and runs a

@@ -315,11 +315,19 @@ def main():
             mul_dt = min(mul_dt, max((time.time() - t0 - lat) / 3, 1e-9))
         per_mul = mul_dt / KM
         nchunks = (msm_n + tabs.chunk - 1) // tabs.chunk
-        mul_model = per_mul * 24 * 255 * nchunks
+        # Full-multiply EQUIVALENTS per Horner step, product-unit weighted
+        # (full mont_mul = 576 t + 300 m + 576 mn = 1452 units; dedicated
+        # square 1176; lazy wide mul 576; wide reduce 876; b3 shift-add
+        # consts 0): pdouble = 2 sqr + 2 mul + 4 wide + 3 reduce = 10188,
+        # padd_mixed = 5 mul + 6 wide + 3 reduce = 13344 -> 23532/1452 =
+        # 16.2 per step (was 24 nominal muls before round 5's mul_small/
+        # mont_sqr work).
+        MUL_EQ = 16.2
+        mul_model = per_mul * MUL_EQ * 255 * nchunks
         roofline_pct = min(100.0, 100.0 * mul_model / msm_dt)
         log(
             f"bare Fq mont_mul at width {G}: {per_mul*1e6:.0f} us/mul; "
-            f"24 muls x 255 steps x {nchunks} chunks price at "
+            f"{MUL_EQ} mul-equivalents x 255 steps x {nchunks} chunks price at "
             f"{mul_model*1e3:.0f} ms -> arithmetic roofline {roofline_pct:.0f}%"
         )
     if not fallback:
