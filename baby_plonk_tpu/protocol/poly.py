@@ -178,6 +178,41 @@ class Poly:
             acc = (acc * x + c) % Q
         return acc
 
+    def __divmod__(self, other: "Poly"):
+        """General division with remainder over Fr (monomial basis):
+        self = q * other + r, deg r < deg other. Schoolbook — the general
+        surface the reference's ``Div`` exposes (polynomial.rs:314-380,
+        which panics on a nonzero remainder; use ``/`` for that exact
+        form). The protocol itself never calls this: the hot paths use
+        the specialized exact forms (divide_by_vanishing's linear
+        recurrence, divide_by_linear's synthetic division, NTT multiply),
+        so O(deg n * deg q) host arithmetic here is a deliberate
+        fallback, not a bottleneck."""
+        assert self.basis == Basis.MONOMIAL and other.basis == Basis.MONOMIAL
+        num = list(_trim(self.values))
+        den = _trim(other.values)
+        assert den and den[-1] != 0, "division by zero polynomial"
+        dq = len(den) - 1
+        if len(num) - 1 < dq:
+            return Poly([0], Basis.MONOMIAL), Poly(num or [0], Basis.MONOMIAL)
+        inv_lead = pow(den[-1], Q - 2, Q)
+        q = [0] * (len(num) - dq)
+        for j in range(len(num) - 1, dq - 1, -1):
+            c = num[j] * inv_lead % Q
+            q[j - dq] = c
+            if c:
+                for i, d in enumerate(den):
+                    num[j - dq + i] = (num[j - dq + i] - c * d) % Q
+        rem = _trim(num[:dq])
+        return Poly(q, Basis.MONOMIAL), Poly(rem or [0], Basis.MONOMIAL)
+
+    def __truediv__(self, other: "Poly") -> "Poly":
+        """EXACT division — asserts a zero remainder, matching the
+        reference's panicking ``Div`` (polynomial.rs:368-379)."""
+        q, r = divmod(self, other)
+        assert r.values == [0], "polynomial division leaves a remainder"
+        return q
+
     def divide_by_vanishing(self, n: int) -> "Poly":
         """Exact division by Z_H = x^n - 1 via the linear recurrence
         q_{j-n} = N_j + q_j (high to low); asserts exactness."""

@@ -117,3 +117,38 @@ def test_intt_of_roots_is_x():
     roots = fr.roots_of_unity(n)
     coeffs = i_ntt(roots)
     assert coeffs == [0, 1] + [0] * (n - 2)
+
+
+def test_general_divmod_and_exact_divide():
+    """General schoolbook division surface (polynomial.rs:314-380 parity):
+    q*d + r round-trips, exact `/` matches the specialized fast forms."""
+    import random
+
+    rng = random.Random(5150)
+    for deg_n, deg_d in ((7, 3), (12, 1), (5, 5), (2, 4)):
+        a = Poly([rng.randrange(fr.Q) for _ in range(deg_n + 1)], Basis.MONOMIAL)
+        d = Poly(
+            [rng.randrange(fr.Q) for _ in range(deg_d)] + [rng.randrange(1, fr.Q)],
+            Basis.MONOMIAL,
+        )
+        q, r = divmod(a, d)
+        assert r.degree() < d.degree() or r.values == [0]
+        assert q * d + r == a
+    # exact: multiply then divide round-trips
+    a = Poly([rng.randrange(fr.Q) for _ in range(9)], Basis.MONOMIAL)
+    d = Poly([rng.randrange(fr.Q) for _ in range(4)] + [1], Basis.MONOMIAL)
+    assert (a * d) / d == a
+    # agrees with the specialized forms
+    n = 8
+    zh = vanishing_poly(n)
+    prod = a * zh
+    assert prod / zh == prod.divide_by_vanishing(n)
+    z = rng.randrange(fr.Q)
+    lin = Poly([(-z) % fr.Q, 1], Basis.MONOMIAL)
+    assert (a * lin) / lin == (a * lin).divide_by_linear(z)
+    # inexact division asserts
+    try:
+        _ = Poly([1, 1, 1], Basis.MONOMIAL) / Poly([5, 1], Basis.MONOMIAL)
+        assert False, "expected remainder assert"
+    except AssertionError as e:
+        assert "remainder" in str(e)
