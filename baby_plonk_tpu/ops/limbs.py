@@ -212,6 +212,19 @@ def _ks_prefix_carry(g, p):
     """
     L = g.shape[0]
     shift = 1
+    if _MOSAIC_SAFE:
+        # Mosaic cannot shift i1 vregs along sublanes (a bool concatenate
+        # crashes the compiler internals; probed 2026-08-21: bool
+        # shift-concat FAILs at every (L, lanes) shape while the same
+        # lookahead in uint32 lanes PASSes) — run the chain in uint32.
+        g32, p32 = g.astype(U32), p.astype(U32)
+        while shift < L:
+            g_lo = _row_shift(g32, shift, 0)
+            p_lo = _row_shift(p32, shift, 1)
+            g32 = g32 | (p32 & g_lo)
+            p32 = p32 & p_lo
+            shift <<= 1
+        return g32.astype(jnp.bool_)
     while shift < L:
         g_lo = _row_shift(g, shift, False)
         p_lo = _row_shift(p, shift, True)

@@ -15,6 +15,7 @@ On CPU (tests) the kernels run in interpreter mode automatically.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -199,27 +200,27 @@ def _fixed_indices(scalars_raw):
     return idx  # (256, G) in [0, 256)
 
 
-def _msm_fixed_tile_kernel(tx_ref, ty_ref, idx_ref, ox_ref, oy_ref, oz_ref, *, tile):
+def _msm_fixed_tile_kernel(t_ref, idx_ref, ox_ref, oy_ref, oz_ref, *, tile):
     acc = g1_vec.pidentity((tile,))
     # Mosaic's dynamic_gather only supports same-shape 2D lookups, so the
-    # 256-way table lookup is a one-hot select + sum over the minor axis
-    # instead: the tables are VMEM-resident, so the 256x read
-    # amplification rides VMEM bandwidth (~TB/s), not HBM; the sum is
-    # exact in uint16 because the mask is one-hot.
-    tx = tx_ref[...]  # (24, tile, 256)
-    ty = ty_ref[...]
-    entry = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-    zero = jnp.zeros((), tx.dtype)
+    # 256-way table lookup is a one-hot select + sum — over the SUBLANE
+    # (entry) axis of a (48, 256, tile) block, keeping the point lanes on
+    # the lane axis. (The first on-chip attempt used (L, tile, 256) with
+    # the entry axis minor: the per-step sum became a cross-LANE
+    # reduction and the kernel ran 240x slower than the XLA path —
+    # measured 27.4 s vs 112 ms at 2^14, 2026-08-21.) The sum is exact in
+    # int32 because the mask is one-hot; tables are VMEM-resident so the
+    # 256x read amplification rides VMEM bandwidth, not HBM.
+    t = t_ref[...]  # (48, 256, tile): x limbs stacked over y limbs
+    entry = jax.lax.broadcasted_iota(jnp.int32, (1, 256, 1), 1)
+    zero = jnp.zeros((), t.dtype)
 
-    def step(t, acc):
-        sel = idx_ref[t][None, :, None] == entry  # (1, tile, 256) one-hot
-        # sum in int32: Mosaic has no unsigned reductions; limbs < 2^16
-        qx = jnp.sum(
-            jnp.where(sel, tx, zero).astype(jnp.int32), axis=2
-        ).astype(jnp.uint32)
-        qy = jnp.sum(
-            jnp.where(sel, ty, zero).astype(jnp.int32), axis=2
-        ).astype(jnp.uint32)
+    def step(s, acc):
+        sel = idx_ref[s][None, None, :] == entry  # (1, 256, tile) one-hot
+        q = jnp.sum(
+            jnp.where(sel, t, zero).astype(jnp.int32), axis=1
+        ).astype(jnp.uint32)  # (48, tile)
+        qx, qy = q[:24], q[24:]
         acc = g1_vec.pdouble(acc)
         added = g1_vec.padd_mixed(acc, (qx, qy))
         is_id = limbs.is_zero(qx) & limbs.is_zero(qy)  # (0,0) identity marker
@@ -227,18 +228,15 @@ def _msm_fixed_tile_kernel(tx_ref, ty_ref, idx_ref, ox_ref, oy_ref, oz_ref, *, t
 
     acc = jax.lax.fori_loop(0, 256, step, acc)
 
-    # in-tile tree reduction to one point
-    m = tile
-    while m > 1:
-        half = m // 2
-        acc = g1_vec.padd(
-            tuple(c[:, :half] for c in acc), tuple(c[:, half : 2 * half] for c in acc)
-        )
-        m = half
-    L = FQ.L
-    ox_ref[...] = jnp.broadcast_to(acc[0].reshape(1, L, 1), (1, L, 128))
-    oy_ref[...] = jnp.broadcast_to(acc[1].reshape(1, L, 1), (1, L, 128))
-    oz_ref[...] = jnp.broadcast_to(acc[2].reshape(1, L, 1), (1, L, 128))
+    # emit the full-width accumulators; the cross-lane tree reduction
+    # happens OUTSIDE the kernel in XLA — the in-kernel padd tree stacked
+    # point slots along a tiny axis-1, and Mosaic's concatenate cannot
+    # reconcile the operands' vreg offsets there ("result/input offset
+    # mismatch on non-concat dimension", logged 2026-08-21); the tree is
+    # O(log tile) work on (24, tile) arrays, nothing worth fusing anyway
+    ox_ref[...] = acc[0][None]
+    oy_ref[...] = acc[1][None]
+    oz_ref[...] = acc[2][None]
 
 
 def msm_fixed_pallas(tx, ty, scalars_raw, tile: int = 128):
@@ -255,28 +253,44 @@ def msm_fixed_pallas(tx, ty, scalars_raw, tile: int = 128):
     assert G % t == 0
     idx = _fixed_indices(scalars_raw)
     L = FQ.L
+    # one-time relayout to the (48, 256, G) onehot orientation (the same
+    # layout ops/msm_fixed.py's XLA onehot path uses on disk-cached tables)
+    tbl = jnp.swapaxes(jnp.concatenate([tx, ty], axis=0), 1, 2)
     kernel = functools.partial(_msm_fixed_tile_kernel, tile=t)
     with limbs.mosaic_safe():
         # rotate-based limb shifts: Mosaic's internal assert on unaligned
         # sublane concatenates (limbs._row_shift docstring) blocked this
         # kernel's on-chip compile through round 4
+        from jax.experimental.pallas import tpu as pltpu
+
         outs = pl.pallas_call(
             kernel,
-            out_shape=[jax.ShapeDtypeStruct((G // t, L, 128), jnp.uint32)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((G // t, L, t), jnp.uint32)] * 3,
             grid=(G // t,),
             in_specs=[
-                pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
-                pl.BlockSpec((L, t, 256), lambda i: (0, i, 0)),
+                pl.BlockSpec((2 * L, 256, t), lambda i: (0, 0, i)),
                 pl.BlockSpec((256, t), lambda i: (0, i)),
             ],
             out_specs=[
-                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, L, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, L, t), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, L, t), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, L, t), lambda i: (i, 0, 0)),
             ],
+            # the in-kernel mont temporaries peak ~9x the live tile (cf.
+            # the sub-NTT note); the default 16M scoped-vmem limit OOMs at
+            # tile=128 (measured 20.3M) — raise it toward the chip's real
+            # VMEM and let tile stay wide
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(
+                    os.environ.get("BPT_PALLAS_VMEM", 100 * 1024 * 1024)
+                )
+            ),
             interpret=_interpret(),
-        )(tx, ty, idx)
-    return _reduce_partials(tuple(o[:, :, 0].T for o in outs))
+        )(tbl, idx)
+    # (G//t, L, t) -> (L, G) lane-major, then one XLA tree reduction
+    return _reduce_partials(
+        tuple(jnp.swapaxes(o, 0, 1).reshape(L, G) for o in outs)
+    )
 
 
 # -----------------------------------------------------------------------------

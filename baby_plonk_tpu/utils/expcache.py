@@ -150,6 +150,7 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
     jfn = jax.jit(fn, static_argnums=static_argnums)
     label = name or getattr(fn, "__name__", "fn")
     exports: dict[str, object] = {}
+    aot: dict[str, object] = {}  # multi-process AOT executables per key
     executed: set[str] = set()
 
     def _mp_barrier(key: str) -> None:
@@ -163,7 +164,17 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
         immediately before each kernel's first execution bounds the skew
         to ONE kernel's compile-time variance. Runs once per (label, key)
         per process; both workers execute identical deterministic kernel
-        sequences, so the barrier ids pair up."""
+        sequences, so the barrier ids pair up.
+
+        The barrier alone is NOT sufficient (measured: run 2 of 5 still
+        raced): dispatch is asynchronous, so the barrier aligns ENQUEUE
+        while the Gloo rendezvous happens on the device execution thread,
+        which can drift arbitrarily far behind on an oversubscribed box.
+        The companion fix in ``wrapper`` therefore also BLOCKS on the
+        first multi-process execution of each kernel — serializing
+        execution at every potential new-communicator boundary, so both
+        workers sit inside the same kernel's rendezvous within one
+        barrier-release + compile-delta (seconds) of each other."""
         import jax
 
         if jax.process_count() <= 1:
@@ -174,7 +185,9 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
         if client is None:  # pragma: no cover - process_count>1 implies client
             return
         try:
+            _log(f"barrier enter {label}-{key}")
             client.wait_at_barrier(f"bpt_ejit_{label}_{key}", 1_200_000)
+            _log(f"barrier exit {label}-{key}")
         except Exception as e:  # barrier failure must not kill the prove
             _log(f"barrier {label}-{key} failed: {str(e)[:100]}")
 
@@ -197,8 +210,6 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
 
     @functools.wraps(fn)
     def wrapper(*args):
-        if not enabled():
-            return _jit_retry(args)
         import jax
         import jax.numpy as jnp
 
@@ -215,6 +226,48 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
                 leaf = jnp.asarray(leaf) if not hasattr(leaf, "dtype") else leaf
                 parts.append(f"{getattr(leaf, 'shape', ())}:{leaf.dtype}")
         key = hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+        first = key not in executed
+        if first:
+            executed.add(key)
+        if not enabled():
+            # Multi-process runs land HERE (enabled() is False for them) —
+            # the Gloo-race fix must cover this path: each worker's
+            # compile cache is keyed by its own device assignment, so one
+            # worker can hit where the other compiles for 30 s+, and the
+            # hitter enters a new communicator's KV window alone. The
+            # compile must happen BEFORE the barrier (AOT lower+compile),
+            # execution right after it, and the first execution is
+            # blocked on — so both workers sit inside a new
+            # communicator's rendezvous within the barrier-release
+            # jitter, regardless of per-worker compile-time skew.
+            if jax.process_count() > 1:
+                c = aot.get(key)
+                if c is None and first:
+                    try:
+                        c = jfn.lower(*args).compile()
+                    except Exception as e:  # AOT quirk: align anyway
+                        _log(f"aot-precompile {label} failed: {str(e)[:100]}")
+                    aot[key] = c
+                    _mp_barrier(key)
+                    out = None
+                    if c is not None:
+                        try:
+                            out = c(*dyn)
+                        except Exception as e:
+                            _log(f"aot-call {label} failed: {str(e)[:100]}")
+                            aot[key] = None
+                            out = None
+                    if out is None:
+                        out = _jit_retry(args)
+                    jax.block_until_ready(out)
+                    return out
+                if c is not None:
+                    try:
+                        return c(*dyn)
+                    except Exception as e:
+                        _log(f"aot-recall {label} failed: {str(e)[:100]}")
+                        aot[key] = None
+            return _jit_retry(args)
         exp = exports.get(key)
         if exp is None:
             with _lock:
@@ -243,11 +296,10 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
                             f.write(exp.serialize())
                         os.replace(tmp, path)
                     exports[key] = exp
-        if key not in executed:
-            executed.add(key)
+        if first:
             _mp_barrier(key)
         try:
-            return exp.call(*dyn)
+            out = exp.call(*dyn)
         except ValueError as e:
             # e.g. "exported for 8 devices ... called in a context with 1
             # devices": the exported artifact binds the device count, and
@@ -255,7 +307,11 @@ def ejit(fn=None, *, static_argnums=(), name: str | None = None):
             # multi-device kernel trips it — the plain jit reshards
             # automatically, so fall through to it.
             _log(f"fallback {label}: {str(e)[:100]}")
-            return _jit_retry(args)
+            out = _jit_retry(args)
+        if first and jax.process_count() > 1:
+            # see _mp_barrier: pin the EXECUTION threads together too
+            jax.block_until_ready(out)
+        return out
 
     wrapper._ejit_label = label
     return wrapper

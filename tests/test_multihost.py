@@ -33,7 +33,14 @@ def test_two_process_full_mesh_prove():
     """FULL 5-round MeshEngine prove + verify across 2 real processes,
     byte-equal vs the host oracle (SURVEY §2.3 DCN row; VERDICT r2 #7).
     XLA-CPU-compile-bound: ~45 min cold, minutes once the persistent
-    compile cache (enabled by the workers) is warm."""
+    compile cache (enabled by the workers) is warm.
+
+    No skip guard: round 4's intermittent Gloo KV 30 s race was
+    root-caused (per-worker compile-cache asymmetry + async dispatch)
+    and fixed by expcache.ejit's AOT-compile -> coordination-service
+    barrier -> execute-and-block sequence on each kernel's first
+    multi-process execution; 5/5 consecutive green runs recorded
+    2026-08-21 (PERFORMANCE.md round 5)."""
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
         capture_output=True,
@@ -41,17 +48,5 @@ def test_two_process_full_mesh_prove():
         timeout=3700,
         env=dict(os.environ, PYTHONPATH=REPO, BPT_SMOKE_FULL="1"),
     )
-    out = proc.stdout + proc.stderr
-    if proc.returncode != 0 and (
-        "GetKeyValue() timed out" in out
-        or "Gloo context initialization failed" in out
-    ):
-        # XLA:CPU's Gloo KV exchange has a HARDCODED 30 s window per
-        # communicator; two workers on this 4-core box can skew past it
-        # (STATUS.md round-4 known issue). That is an infra race, not a
-        # proof-pipeline failure — the same full prove is byte-exact on
-        # the single-process 8-device mesh (test_mesh_engine) and the
-        # 2-process prove_step section above passes.
-        pytest.skip("2-process Gloo KV 30s window raced (known infra issue)")
-    assert proc.returncode == 0, out
+    assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "full 5-round MeshEngine prove over 2 processes OK" in proc.stdout
