@@ -1,6 +1,7 @@
 """Limb-vector modular arithmetic vs exact host oracle (SURVEY.md §7.1 step 1)."""
 import random
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -110,3 +111,36 @@ def test_batch_inverse():
             assert iv == 0
         else:
             assert v * iv % fr.Q == 1
+
+
+@pytest.mark.parametrize("spec", [FR, FQ, FQ12], ids=["fr", "fq", "fq12"])
+def test_mont_sqr_dedicated(spec):
+    """Dedicated squaring column sums (_sqr_cols: off-diagonals once,
+    doubled post-split) vs exact host squares, flat + compact forms."""
+    import jax
+
+    xs = _rand(spec, 6) + [0, 1, spec.modulus - 1, spec.modulus - 2]
+    a = jnp.asarray(spec.pack_mont(xs))
+    want = [x * x % spec.modulus for x in xs]
+    got = spec.unpack_mont(np.asarray(jax.jit(lambda v: limbs.mont_sqr(spec, v))(a)))
+    assert got == want
+    with limbs.compact_mul():
+        got = spec.unpack_mont(
+            np.asarray(jax.jit(lambda v: limbs.mont_sqr(spec, v))(a))
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("spec", [FQ, FQ12], ids=["fq", "fq12"])
+@pytest.mark.parametrize("c", [1, 2, 3, 12, 255])
+def test_mul_small(spec, c):
+    """Constant multiply via scaled carry pass + conditional subtractions
+    (no limb products) — the b3 shortcut in the point formulas."""
+    import jax
+
+    xs = _rand(spec, 5) + [0, 1, spec.modulus - 1]
+    a = jnp.asarray(spec.pack_mont(xs))
+    got = spec.unpack_mont(
+        np.asarray(jax.jit(lambda v: limbs.mul_small(spec, v, c))(a))
+    )
+    assert got == [x * c % spec.modulus for x in xs]
